@@ -1,0 +1,149 @@
+"""Deterministic image codec + perceptual hash for the image+caption payload.
+
+The crawl payload per BASELINE.json ``input_hint`` is an image+caption pair
+``(image_id, bytes, w, h, fmt, caption, phash)`` with a per-row invariant of
+decoded-pixel allclose (PSNR ≥ 40 dB for lossy formats).
+
+NOTE — codec stub: this container has no image libraries (no PIL/turbojpeg),
+so real PNG/JPEG/WEBP codecs are STUBBED with a deterministic stand-in
+container format ("MSPK"): zlib-compressed raw pixels, with an optional
+6-bit quantization stage standing in for lossy compression (PSNR ≈ 46 dB,
+satisfying the ≥ 40 dB invariant).  The Spark-side plumbing — binary
+columns, Arrow batch shapes, mapInPandas decode/validate signatures — is
+real and is what the tests exercise; swap ``encode_image``/``decode_image``
+for PIL/libjpeg calls in production.
+
+The perceptual hash is the classic pHash construction: 32×32 grayscale →
+2D DCT-II → top-left 8×8 (skipping DC) → median threshold → 64 bits.
+The reference's content-similarity analogue is EasyLSH with hamming < 4
+(ref: code/libraries/easy-lsh/java/nu/marginalia/lsh/EasyLSH.java:12-87);
+for the image graft the same "is same content" check is
+``hamming64(phash_a, phash_b) < 4``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"MSPK"
+LOSSY_FORMATS = frozenset({"jpeg", "webp"})
+_FMT_CODES = {"png": 0, "jpeg": 1, "webp": 2}
+_FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """arr: HxWx3 uint8 → container bytes.  Lossy fmts quantize to 6 bits."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected HxWx3 uint8")
+    h, w, _ = arr.shape
+    if fmt not in _FMT_CODES:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    payload = arr
+    if fmt in LOSSY_FORMATS:
+        payload = (arr >> 2).astype(np.uint8)  # 6-bit quantization (lossy stand-in)
+    compressed = zlib.compress(payload.tobytes(), level=6)
+    return MAGIC + struct.pack("<BHH", _FMT_CODES[fmt], w, h) + compressed
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """container bytes → (HxWx3 uint8, fmt).  Raises ValueError on corruption."""
+    if not data or data[:4] != MAGIC:
+        raise ValueError("bad magic")
+    fmt_code, w, h = struct.unpack("<BHH", data[4:9])
+    fmt = _FMT_NAMES.get(fmt_code)
+    if fmt is None:
+        raise ValueError("bad fmt code")
+    raw = zlib.decompress(data[9:])
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if fmt in LOSSY_FORMATS:
+        # dequantize to bucket centers to minimize error
+        arr = np.minimum(arr.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+    return arr, fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# --- perceptual hash -------------------------------------------------------
+
+_DCT_N = 32
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT_M = _dct_matrix(_DCT_N)
+
+
+def _resize_block_mean(gray: np.ndarray, out: int) -> np.ndarray:
+    """Nearest-bucket block-mean resize to out×out (deterministic)."""
+    h, w = gray.shape
+    ys = (np.arange(out + 1) * h // out).astype(np.int64)
+    xs = (np.arange(out + 1) * w // out).astype(np.int64)
+    ys = np.maximum(ys, np.arange(out + 1))  # guarantee non-empty buckets for tiny images
+    xs = np.maximum(xs, np.arange(out + 1))
+    if h < out or w < out:
+        # upscale tiny images by repetition first
+        ry = int(np.ceil(out / h))
+        rx = int(np.ceil(out / w))
+        gray = np.repeat(np.repeat(gray, ry, axis=0), rx, axis=1)
+        h, w = gray.shape
+        ys = (np.arange(out + 1) * h // out).astype(np.int64)
+        xs = (np.arange(out + 1) * w // out).astype(np.int64)
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    csum[1:, 1:] = np.cumsum(np.cumsum(gray.astype(np.float64), axis=0), axis=1)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s = (
+        csum[np.ix_(y1, x1)]
+        - csum[np.ix_(y0, x1)]
+        - csum[np.ix_(y1, x0)]
+        + csum[np.ix_(y0, x0)]
+    )
+    return s / np.maximum(area, 1)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual hash (signed int64, parquet-friendly)."""
+    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _resize_block_mean(gray, _DCT_N)
+    dct = _DCT_M @ small @ _DCT_M.T
+    block = dct[:8, :8].flatten()
+    med = np.median(block[1:])  # skip DC term
+    bits = block > med
+    bits[0] = dct[0, 0] > 0
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def phash_batch(bufs) -> np.ndarray:
+    """Decode+phash a batch of encoded images → int64 array (−1 on decode error)."""
+    out = np.empty(len(bufs), dtype=np.int64)
+    for i, buf in enumerate(bufs):
+        try:
+            arr, _ = decode_image(bytes(buf))
+            out[i] = phash64(arr)
+        except (ValueError, zlib.error):
+            out[i] = -1
+    return out

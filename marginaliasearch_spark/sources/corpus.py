@@ -1,0 +1,76 @@
+"""Deterministic corpus generator — image + caption pairs.
+
+Schema per BASELINE.json ``input_hint``:
+    (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+     caption:string, phash:int64)
+
+All content derives from ``(seed, i)`` through numpy's seeded PCG64 — the
+same row is reproducible at any scale without materializing predecessors,
+which is how the 10^10-scale ladder works (FIXTURES.md §1, §6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.imagecodec import encode_image, phash64
+
+_SIZES = (16, 32, 64, 128)
+_FMTS = ("png", "jpeg", "webp")
+
+_CAPTION_TOKENS = (
+    "sunset over the harbor".split()
+    + "a photograph of mountains at dawn".split()
+    + "macro shot of dew on leaves".split()
+    + ["çağла", "合成", "картинка", "🌅", "naïve"]
+)
+
+
+def make_image(seed: int, i: int) -> tuple[np.ndarray, str]:
+    """Deterministic gradient+noise image and its format."""
+    rng = np.random.default_rng([seed, i])
+    w = int(rng.choice(_SIZES))
+    h = int(rng.choice(_SIZES))
+    fmt = str(rng.choice(_FMTS))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128
+        + 80 * np.sin(xx / max(w, 1) * np.pi * rng.uniform(0.5, 3))
+        + 40 * np.cos(yy / max(h, 1) * np.pi * rng.uniform(0.5, 3))
+    )
+    noise = rng.normal(0, 12, size=(h, w, 3))
+    arr = np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+    return arr, fmt
+
+
+def make_caption(seed: int, i: int) -> str:
+    rng = np.random.default_rng([seed, 7919, i])
+    if rng.random() < 0.02:
+        return ""  # empty-caption case (FIXTURES.md §1)
+    n = int(rng.integers(2, 9))
+    toks = rng.choice(len(_CAPTION_TOKENS), size=n)
+    return " ".join(_CAPTION_TOKENS[t] for t in toks)
+
+
+def corpus_row(seed: int, i: int) -> dict:
+    arr, fmt = make_image(seed, i)
+    data = encode_image(arr, fmt)
+    return {
+        "image_id": f"img-{i:010d}",
+        "bytes": data,
+        "w": np.int32(arr.shape[1]),
+        "h": np.int32(arr.shape[0]),
+        "fmt": fmt,
+        "caption": make_caption(seed, i),
+        "phash": np.int64(phash64(arr)),
+    }
+
+
+def generate_corpus(seed: int, n: int) -> pd.DataFrame:
+    rows = [corpus_row(seed, i) for i in range(n)]
+    df = pd.DataFrame(rows)
+    df["w"] = df["w"].astype("int32")
+    df["h"] = df["h"].astype("int32")
+    df["phash"] = df["phash"].astype("int64")
+    return df

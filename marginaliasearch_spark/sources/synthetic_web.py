@@ -1,0 +1,463 @@
+"""Deterministic synthetic web — the hermetic test/bench harness.
+
+Modeled on the reference's mock-fetcher test architecture (an in-memory
+URL→document map driving the full crawl loop; ref: code/processes/
+crawling-process/test/nu/marginalia/crawling/retreival/
+CrawlerMockFetcherTest.java:38-178), extended with per-domain robots,
+probe results, redirects, sitemaps, feeds, error statuses and messy hrefs
+per FIXTURES.md §2.
+
+Everything derives from ``(seed, domain_index)`` via numpy PCG64, so any
+slice of the web is reproducible without materializing the rest — the same
+generator scales from 10-domain unit fixtures to the 10^10-URL bench ladder.
+
+The "document body" payload of every 200 page is an image+caption pair
+(FK into the corpus table), per the graft's input_hint.
+
+Fetch semantics implemented by ``SyntheticWeb.fetch``:
+- lookup ignores proto (EdgeUrl identity), but fetching with the wrong
+  proto for the domain simulates a connection failure (status -1);
+- status -1 → network exception; 429 → rate-limit exception (slow-down);
+- 301/302 carry a Location; 404/500 carry no body.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..canon.domain import top_domain_of
+from ..canon.url import EdgeUrl, parse_url
+
+HTML = "text/html"
+ICON = "image/x-icon"
+
+
+@dataclass
+class Page:
+    url: str  # canonical URL string (domain's preferred proto)
+    domain: str
+    path: str
+    param: Optional[str]
+    status: int  # 200|301|404|429|500|-1
+    redirect_to: Optional[str] = None
+    content_type: str = HTML
+    image_id: Optional[str] = None
+    base_href: Optional[str] = None
+    links: list[str] = field(default_factory=list)
+    feed_links: list[str] = field(default_factory=list)
+    body_marker: Optional[str] = None  # first bytes, for feed validation
+    etag: Optional[str] = None
+    last_modified: Optional[str] = None
+
+
+@dataclass
+class DomainSpec:
+    domain: str
+    proto: str  # preferred proto ("https"/"http")
+    probe: str  # "ok" | "redirect:<domain>" | "error"
+    robots_txt: Optional[str]
+    site_kind: str
+    crawl_depth: int
+    seed_urls: list[str]
+    sitemap_urls: list[str] = field(default_factory=list)
+    generator_meta: str = ""
+    has_lemmy_config: bool = False
+
+
+class SyntheticWeb:
+    def __init__(self, domains: dict[str, DomainSpec], pages: dict):
+        self.domains = domains
+        self._pages = pages  # (domain_address, path, param) → Page
+
+    def page_at(self, url: EdgeUrl) -> Optional[Page]:
+        return self._pages.get((url.domain.address, url.path, url.param))
+
+    def fetch(self, url: EdgeUrl) -> Page:
+        """Returns a Page; synthesizes 404 / -1 rows for misses and
+        wrong-proto fetches (wrong proto = connection failure)."""
+        spec = self.domains.get(url.domain.address)
+        if spec is None or url.proto != spec.proto:
+            return Page(str(url), url.domain.address, url.path, url.param, -1)
+        page = self.page_at(url)
+        if page is None:
+            return Page(str(url), url.domain.address, url.path, url.param, 404)
+        return page
+
+    def all_pages(self) -> list[Page]:
+        return list(self._pages.values())
+
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+_KIND_CYCLE = (
+    "default", "blogspot", "mediawiki", "default", "substack",
+    "discourse", "default", "lemmy", "default", "default",
+)
+
+_TLDS = (".com", ".org", ".net", ".co.uk", ".ac.jp")
+_SUBS = ("www.", "", "blog.")
+
+ROBOTS_VARIANTS = 6
+
+
+def _domain_name(i: int, kind: str) -> str:
+    if kind == "blogspot":
+        return f"u{i}.blogspot.com"
+    if kind == "substack":
+        return f"s{i}.substack.com"
+    if kind == "lemmy":
+        return f"lemmy{i}.example.org"
+    if kind == "mediawiki":
+        return f"wiki{i}.example.org"
+    if kind == "discourse":
+        return f"forum{i}.example.net"
+    return f"{_SUBS[i % 3]}site{i}{_TLDS[i % 5]}"
+
+
+def _paths_for(kind: str, n: int, rng: np.random.Generator) -> list[tuple[str, Optional[str]]]:
+    """Generate (path, param) tuples; index 0 is always the root."""
+    out: list[tuple[str, Optional[str]]] = [("/", None)]
+    k = 0
+    while len(out) < n:
+        k += 1
+        r = rng.random()
+        if kind == "mediawiki":
+            if r < 0.6:
+                out.append((f"/wiki/Page{k}", None))
+            elif r < 0.75:
+                out.append((f"/wiki/Talk:Page{k}", None))  # filtered by link filter
+            elif r < 0.9:
+                out.append(("/index.php", f"title=Page{k}"))  # .php filtered
+            else:
+                out.append((f"/wiki/Special:WhatLinksHere{k}", None))
+        elif kind == "discourse":
+            if r < 0.6:
+                out.append((f"/t/topic-{k}/{k}", None))
+            elif r < 0.8:
+                out.append((f"/u/user{k}", None))  # filtered
+            else:
+                out.append(("/latest", f"page={k}" if k % 3 == 0 else None))
+        elif kind == "lemmy":
+            if r < 0.5:
+                out.append((f"/post/{k}", None))
+            elif r < 0.75:
+                out.append((f"/c/community{k % 5}", None))
+            else:
+                out.append((f"/u/user{k}", None))  # filtered
+        elif kind == "blogspot":
+            if r < 0.75:
+                out.append((f"/20{10 + k % 15:02d}/{1 + k % 12:02d}/post-{k}.html", None))
+            else:
+                out.append((f"/feeds/posts/{k}", None))  # filtered
+        elif kind == "substack":
+            if r < 0.7:
+                out.append((f"/p/essay-{k}", None))
+            else:
+                out.append((f"/p/essay-{k}/comments", None))  # filtered
+        else:
+            if r < 0.35:
+                out.append((f"/posts/post-{k}.html", None))
+            elif r < 0.55:
+                out.append((f"/cat/c{k % 7}/", None))
+            elif r < 0.7:
+                out.append(("/item.php", f"id={k}"))
+            elif r < 0.8:
+                out.append((f"/private/doc{k}.html", None))  # robots-disallow target
+            elif r < 0.9:
+                out.append((f"/about/team{k % 3}", None))
+            else:
+                out.append((f"/files/page with space {k}.html", None))
+    return out[:n]
+
+
+def _robots_for(i: int, kind: str, rng: np.random.Generator, sitemap_url: Optional[str]) -> Optional[str]:
+    v = i % ROBOTS_VARIANTS
+    lines: list[str] = []
+    if v == 0:
+        return None  # 404 robots → ALLOW_ALL
+    if v == 1:
+        lines = ["User-agent: *", "Disallow:"]
+    elif v == 2:
+        lines = ["User-agent: *", "Disallow: /private/", "Crawl-delay: 2"]
+    elif v == 3:
+        # blanket disallow with our-UA override (DomainCrawlerRobotsTxtTest)
+        lines = [
+            "User-agent: *",
+            "Disallow: /",
+            "",
+            "User-agent: GoogleBot",
+            "User-agent: search.marginalia.nu",
+            "Disallow:",
+            "Disallow: /private/",
+        ]
+    elif v == 4:
+        lines = ["User-agent: *", "Disallow: /*.php$", "Crawl-delay: 0.5"]
+    elif v == 5:
+        lines = ["User-agent: *", "Disallow: /private/", "Disallow: /files/"]
+    if sitemap_url:
+        lines.append(f"Sitemap: {sitemap_url}")
+        if i % 4 == 2:  # cross-domain sitemap directive must be ignored
+            lines.append("Sitemap: https://evil.example.com/sitemap.xml")
+    return "\n".join(lines) + "\n"
+
+
+def _messy_hrefs(
+    targets: list[str], rng: np.random.Generator, domain: str, proto: str
+) -> list[str]:
+    """Wrap canonical target paths in messy href shapes + add noise links."""
+    hrefs: list[str] = []
+    for t in targets:
+        style = rng.integers(0, 6)
+        if style == 0:
+            hrefs.append(t)  # absolute path
+        elif style == 1:
+            hrefs.append(f"{proto}://{domain}{t}")  # absolute URL
+        elif style == 2:
+            hrefs.append(f"//{domain}{t}")  # scheme-relative
+        elif style == 3:
+            hrefs.append(t.lstrip("/"))  # relative to root page
+        elif style == 4:
+            hrefs.append(t + "#section-2")  # anchor to strip
+        else:
+            hrefs.append("../" + t.lstrip("/"))  # climbing relative
+    # noise links that must all be rejected or deduped
+    noise_pool = [
+        "#top",
+        "mailto:owner@" + domain,
+        "javascript:void(0)",
+        "tel:+15551234567",
+        "/downloads/archive.zip",
+        "/paper.pdf",
+        "/repo/.git/config",
+        "/hash/" + "0123456789abcdef" * 3,
+        "https://www.youtube.com/watch?v=xyz",
+        "https://t.co/short",
+        "/x/" + "a" * 130,
+        "/lists/announce/2020",
+    ]
+    picks = rng.choice(len(noise_pool), size=min(4, len(noise_pool)), replace=False)
+    hrefs.extend(noise_pool[p] for p in picks)
+    if targets:
+        hrefs.append(targets[0])  # duplicate link — dedup case
+        if "?" not in targets[0]:
+            hrefs.append(targets[0] + "?tracking=drop&id=7")  # param sanitize case
+    order = rng.permutation(len(hrefs))
+    return [hrefs[o] for o in order]
+
+
+def generate_web(
+    seed: int = 42,
+    n_domains: int = 12,
+    mean_pages: int = 30,
+    heavy_domain_pages: int = 0,
+) -> tuple[SyntheticWeb, int]:
+    """Build the web; returns (web, n_images_needed).
+
+    ``heavy_domain_pages`` > 0 makes domain 0 that large (skew testing).
+    """
+    domains: dict[str, DomainSpec] = {}
+    pages: dict = {}
+    img_counter = 0
+
+    for i in range(n_domains):
+        rng = np.random.default_rng([seed, 1000 + i])
+        kind = _KIND_CYCLE[i % len(_KIND_CYCLE)]
+        name = _domain_name(i, kind)
+        proto = "https" if (i % 5 != 3) else "http"  # every 5th domain http-only
+
+        if i % 11 == 7:
+            probe = f"redirect:www.site{i + 1}.com"
+        elif i % 11 == 10:
+            probe = "error"
+        else:
+            probe = "ok"
+
+        if heavy_domain_pages and i == 0:
+            n_pages = heavy_domain_pages
+        else:
+            # zipf-ish sizes, min 4
+            n_pages = max(4, int(mean_pages * (1.0 + rng.pareto(1.5))))
+            n_pages = min(n_pages, mean_pages * 20)
+
+        path_list = _paths_for(kind, n_pages, rng)
+        canonical = [f"{proto}://{name}{p}" + (f"?{q}" if q else "") for p, q in path_list]
+
+        # sitemap: some domains expose extra orphan pages through it
+        sitemap_url = None
+        sitemap_urls: list[str] = []
+        if i % 4 == 2 and n_pages > 6:
+            sitemap_url = f"{proto}://{name}/sitemap.xml"
+            orphan_paths = [(f"/orphan/sm{k}.html", None) for k in range(3)]
+            path_list.extend(orphan_paths)
+            canonical.extend(f"{proto}://{name}{p}" for p, _ in orphan_paths)
+            picks = rng.choice(len(canonical), size=min(8, len(canonical)), replace=False)
+            sitemap_urls = [canonical[p] for p in picks]
+            sitemap_urls.append(f"https://evil.example.com/page")  # same-domain filter case
+
+        robots = _robots_for(i, kind, rng, sitemap_url)
+
+        depth = int(rng.choice([10, 25, 100, 1000]))
+        seed_urls: list[str] = []
+        if i % 3 == 0 and len(canonical) > 2:
+            seed_urls = [canonical[1]]
+        if i % 6 == 0 and len(canonical) > 3:
+            seed_urls.append(canonical[2].replace("https://", "http://", 1))
+
+        spec = DomainSpec(
+            domain=name,
+            proto=proto,
+            probe=probe,
+            robots_txt=robots,
+            site_kind=kind,
+            crawl_depth=depth,
+            seed_urls=seed_urls,
+            sitemap_urls=sitemap_urls,
+            generator_meta=(
+                "MediaWiki 1.39.1" if kind == "mediawiki"
+                else "Discourse 2.8" if kind == "discourse" else ""
+            ),
+            has_lemmy_config=(kind == "lemmy"),
+        )
+        domains[name] = spec
+
+        # per-page records
+        for idx, (path, param) in enumerate(path_list):
+            prng = np.random.default_rng([seed, 1000 + i, idx])
+            r = prng.random()
+            status = 200
+            redirect_to = None
+            if idx > 0:  # root always 200 so sniffing has something to chew on
+                if r < 0.04:
+                    status = 404
+                elif r < 0.07:
+                    status = 301
+                    tgt = canonical[int(prng.integers(0, len(canonical)))]
+                    if prng.random() < 0.15:
+                        tgt = "https://elsewhere.example.com/x"  # cross-domain redirect
+                    redirect_to = tgt
+                elif r < 0.09:
+                    status = 500
+                elif r < 0.10:
+                    status = 429
+                elif r < 0.11:
+                    status = -1
+
+            links: list[str] = []
+            image_id = None
+            if status == 200:
+                n_links = int(prng.integers(3, 9))
+                picks = prng.integers(0, len(path_list), size=n_links)
+                targets = []
+                for p in picks:
+                    tp, tq = path_list[int(p)]
+                    targets.append(tp + (f"?{tq}" if tq else ""))
+                links = _messy_hrefs(targets, prng, name, proto)
+                image_id = f"img-{img_counter:010d}"
+                img_counter += 1
+
+            feed_links = []
+            body_marker = None
+            if path == "/" and i % 3 == 1:
+                feed_links = ["/feed.rss"]
+            if path == "/":
+                pass
+            etag = f'W/"{i}-{idx}"' if prng.random() < 0.5 else None
+            last_modified = (
+                "Mon, 01 Jan 2024 00:00:00 GMT" if prng.random() < 0.5 else None
+            )
+
+            page = Page(
+                url=canonical[idx] if idx < len(canonical) else f"{proto}://{name}{path}",
+                domain=name,
+                path=path,
+                param=param,
+                status=status,
+                redirect_to=redirect_to,
+                content_type=HTML,
+                image_id=image_id,
+                links=links,
+                feed_links=feed_links,
+                body_marker=body_marker,
+                etag=etag,
+                last_modified=last_modified,
+            )
+            pages[(name, path, param)] = page
+
+        # favicon + feed endpoint extras
+        if i % 2 == 0:
+            pages[(name, "/favicon.ico", None)] = Page(
+                url=f"{proto}://{name}/favicon.ico",
+                domain=name, path="/favicon.ico", param=None,
+                status=200, content_type=ICON,
+            )
+        if i % 3 == 2:
+            pages[(name, "/rss.xml", None)] = Page(
+                url=f"{proto}://{name}/rss.xml",
+                domain=name, path="/rss.xml", param=None,
+                status=200, content_type="application/rss+xml",
+                body_marker="<rss version=\"2.0\">",
+            )
+        if sitemap_url:
+            pages[(name, "/sitemap.xml", None)] = Page(
+                url=sitemap_url, domain=name, path="/sitemap.xml", param=None,
+                status=200, content_type="application/xml",
+                body_marker="<urlset>",
+            )
+
+    return SyntheticWeb(domains, pages), img_counter
+
+
+def web_to_frames(web: SyntheticWeb):
+    """(pages_df, domains_df) as pandas — the parquet/Spark representation."""
+    import pandas as pd
+
+    prows = []
+    for p in web.all_pages():
+        prows.append(
+            {
+                "domain": p.domain,
+                "path": p.path,
+                "param": p.param,
+                "url": p.url,
+                "status": p.status,
+                "redirect_to": p.redirect_to,
+                "content_type": p.content_type,
+                "image_id": p.image_id,
+                "base_href": p.base_href,
+                "links": p.links,
+                "feed_links": p.feed_links,
+                "body_marker": p.body_marker,
+                "etag": p.etag,
+                "last_modified": p.last_modified,
+            }
+        )
+    drows = []
+    for d in web.domains.values():
+        drows.append(
+            {
+                "domain": d.domain,
+                "top_domain": top_domain_of(d.domain),
+                "proto": d.proto,
+                "probe": d.probe,
+                "robots_txt": d.robots_txt,
+                "site_kind": d.site_kind,
+                "crawl_depth": d.crawl_depth,
+                "seed_urls": d.seed_urls,
+                "sitemap_urls": d.sitemap_urls,
+                "generator_meta": d.generator_meta,
+                "has_lemmy_config": d.has_lemmy_config,
+            }
+        )
+    return pd.DataFrame(prows), pd.DataFrame(drows)
+
+
+def fetch_time_ms(url: str) -> int:
+    """Deterministic simulated fetch duration for the virtual clock."""
+    from ..canon.murmur import hash_nearly_ascii
+
+    return 50 + (hash_nearly_ascii(url) % 300)
