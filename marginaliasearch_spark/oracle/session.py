@@ -1,0 +1,498 @@
+"""DomainCrawlSession — the per-domain sequential crawl state machine.
+
+This is the single implementation of the reference's per-domain crawl
+semantics (CrawlerRetreiver + DomainCrawlFrontier + CrawlDelayTimer +
+CrawlerRevisitor; citations in oracle/crawler.py and oracle/frontier.py).
+It is used in two places:
+
+- the single-threaded oracle (run to completion, golden model);
+- the Spark wave UDF (budgeted ``run(max_fetches)`` per wave, with queue +
+  seen-set persisted as frontier-table rows and the residual scalar state
+  as a ``domain_state`` row between waves).
+
+The reference itself runs one sequential loop per domain on a thread pool
+(CrawlerMain.java:147-150) — the sequential inner loop is the *semantics*,
+Spark provides the distribution.  Wave boundaries are checkpoint points:
+a session serialized at any fetch boundary and rehydrated resumes exactly.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Protocol
+
+import numpy as np
+
+from ..canon.domain import EdgeDomain
+from ..canon.linkparser import get_base_link, parse_link, parse_link_from_anchor
+from ..canon.url import EdgeUrl, parse_url
+from ..functions.robots import RobotRules, parse_robots_txt
+from ..operators.blocklist import is_url_blocked
+from ..operators.linkfilter import select_filter_kind
+from ..sources.synthetic_web import Page, fetch_time_ms
+from .frontier import DomainFrontier
+
+MAX_ERRORS = 20
+USER_AGENT = "search.marginalia.nu"
+DEFAULT_DELAY_MIN_MS = 1000
+DEFAULT_DELAY_MAX_MS = 2500
+
+LIKELY_FEED_ENDPOINTS = [
+    "rss.xml", "atom.xml", "feed.xml", "index.xml", "feed",
+    "rss", "atom", "feeds", "blog/feed", "blog/rss",
+]
+
+# frontier-row states
+QUEUED = "QUEUED"
+KNOWN = "KNOWN"
+VISITED = "VISITED"
+
+
+class WebLike(Protocol):
+    def fetch(self, url: EdgeUrl) -> Page: ...
+    def page_at(self, url: EdgeUrl) -> Optional[Page]: ...
+
+
+@dataclass
+class DomainInfo:
+    """Static per-domain facts the session needs (from web_domains/specs)."""
+
+    domain: str
+    proto: str = "https"
+    probe: str = "ok"
+    robots_txt: Optional[str] = None
+    site_kind: str = "default"
+    generator_meta: str = ""
+    has_lemmy_config: bool = False
+    sitemap_urls: list = field(default_factory=list)
+    crawl_depth: int = 1000
+    seed_urls: list = field(default_factory=list)
+
+
+class Timer:
+    """CrawlDelayTimer on a virtual clock, zero jitter (determinism pin)."""
+
+    def __init__(self, crawl_delay_ms: int, clock_ms: int = 0, slow_down: bool = False):
+        self.delay_ms = crawl_delay_ms if crawl_delay_ms > 0 else DEFAULT_DELAY_MIN_MS
+        self.explicit = crawl_delay_ms > 0
+        self.slow_down = slow_down
+        self.clock_ms = clock_ms
+
+    def sleep(self, ms: int) -> None:
+        self.clock_ms += ms
+
+    def wait_fetch_delay(self, spent_ms: int = 0) -> None:
+        if self.explicit:
+            if spent_ms <= self.delay_ms:
+                self.sleep(min(self.delay_ms - spent_ms, 5000))
+        else:
+            sleep_time = min(max(spent_ms * 2, DEFAULT_DELAY_MIN_MS), DEFAULT_DELAY_MAX_MS)
+            if spent_ms <= sleep_time:
+                self.sleep(sleep_time - spent_ms)
+        if self.slow_down:
+            self.sleep(DEFAULT_DELAY_MIN_MS)
+
+
+class DomainCrawlSession:
+    """Phases: pending → (blocked|redirect|error | active) → done."""
+
+    def __init__(self, info: DomainInfo, web: WebLike, seed: int = 42):
+        self.info = info
+        self.web = web
+        self.seed = seed
+        self.edge_domain = EdgeDomain(info.domain)
+
+        self.phase = "pending"
+        self.frontier = DomainFrontier(self.edge_domain, [], info.crawl_depth)
+        self.rules = RobotRules()
+        self.timer = Timer(0)
+        self.error_count = 0
+        self.crawler_additions = 0
+        self.recrawl_size = 0
+
+        # per-wave output buffers (drained by the caller)
+        self.new_crawl_data: list[dict] = []
+        self.new_fetch_log: list[dict] = []
+        self.new_visits: list[str] = []
+
+    # ------------------------------------------------------------------
+    # wave 0: probe + robots + sniff + recrawl + sitemaps
+    # ------------------------------------------------------------------
+
+    def setup(self, prev_crawl: Optional[list[dict]] = None) -> str:
+        assert self.phase == "pending"
+        info = self.info
+
+        # seed URLs enqueue (frontier ctor semantics: default supports_https=True)
+        for url_str in info.seed_urls:
+            url = parse_url(url_str)
+            if url is not None:
+                self.frontier.add_to_queue(url)
+        fst = self.frontier.peek()
+        if fst is not None:
+            self.frontier.add_first(fst.with_path_and_param("/", None))
+
+        if info.probe == "error":
+            self.phase = "error"
+            return self.phase
+        if info.probe.startswith("redirect:"):
+            self.phase = "redirect"
+            return self.phase
+
+        probed = EdgeUrl(info.proto, self.edge_domain, None, "/", None)
+        self.frontier.supports_https = probed.proto == "https"
+
+        self.rules = parse_robots_txt(info.robots_txt, USER_AGENT)
+        self.timer = Timer(self.rules.crawl_delay_ms)
+        self.timer.sleep(1000)  # post-probe politeness sleep
+
+        if not self.rules.is_allowed(str(probed)):
+            self._log(str(probed), "REFUSED_ROBOTS")
+            self.phase = "blocked"
+            return self.phase
+        self.timer.wait_fetch_delay(0)
+
+        self._sniff_root(probed)
+
+        if prev_crawl:
+            self.recrawl_size, rc_errors = self._recrawl(prev_crawl)
+            self.error_count += rc_errors
+            if self.recrawl_size > 0:
+                self.frontier.increase_depth(1.5, 2500)
+
+        self._enqueue_sitemaps(probed)
+
+        self.phase = "active"
+        return self.phase
+
+    # ------------------------------------------------------------------
+    # BFS waves
+    # ------------------------------------------------------------------
+
+    def run(self, max_fetches: Optional[int] = None) -> str:
+        """Run the BFS loop for up to ``max_fetches`` fetch attempts."""
+        assert self.phase == "active"
+        fetches = 0
+        frontier = self.frontier
+        while (
+            not frontier.is_empty()
+            and not frontier.is_crawl_depth_reached()
+            and self.error_count < MAX_ERRORS
+        ):
+            if max_fetches is not None and fetches >= max_fetches:
+                return self.phase  # still active — wave budget exhausted
+
+            top = frontier.take_next()
+
+            if not self.rules.is_allowed(str(top)):
+                self._log(str(top), "REFUSED_ROBOTS")
+                continue
+            if not frontier.filter_link(top):
+                continue
+            if is_url_blocked(top):
+                continue
+            if top.proto not in ("http", "https"):
+                continue
+            if len(str(top)) > 255:
+                continue
+            if not frontier.add_visited(top):
+                continue
+
+            fetches += 1
+            page = self._fetch(top)
+            spent = fetch_time_ms(str(top))
+            self._log(str(top), "FETCH", page.status)
+            self.new_visits.append(str(top))
+            self.timer.wait_fetch_delay(spent)
+
+            if page.status == 200:
+                self.crawler_additions += 1
+                if page.content_type == "text/html":
+                    self._enqueue_links(top, page)
+                    frontier.add_visited(top)
+                self._record(page, top)
+            elif page.status in (301, 302, 307) and page.redirect_to:
+                loc = parse_link(top, page.redirect_to)
+                if loc is not None and loc.domain == self.edge_domain:
+                    frontier.add_first(loc)
+            elif page.status in (429, -1):
+                if page.status == 429:
+                    self.timer.slow_down = True
+                    self.timer.sleep(1000)
+                self.error_count += 1
+
+        self.phase = "done"
+        return self.phase
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _log(self, url: str, action: str, status: int = 0) -> None:
+        self.new_fetch_log.append(
+            {"url": url, "action": action, "status": status, "virtual_ms": self.timer.clock_ms}
+        )
+
+    def _fetch(self, url: EdgeUrl) -> Page:
+        page = self.web.fetch(url)
+        self.timer.sleep(fetch_time_ms(str(url)))
+        return page
+
+    def _record(self, page: Page, url: EdgeUrl) -> None:
+        self.new_crawl_data.append(
+            {
+                "domain": self.info.domain,
+                "url": str(url),
+                "http_status": page.status,
+                "content_type": page.content_type,
+                "image_id": page.image_id,
+                "etag": page.etag,
+                "last_modified": page.last_modified,
+            }
+        )
+
+    def _enqueue_links(self, base_url: EdgeUrl, page: Page) -> None:
+        base = get_base_link([page.base_href] if page.base_href else [], base_url)
+        for href in page.links:
+            url = parse_link_from_anchor(base, href)
+            if url is not None:
+                self.frontier.add_to_queue(url)
+
+    def _sniff_root(self, probed: EdgeUrl) -> None:
+        root_url = probed.with_path_and_param("/", None)
+        page = self._fetch(root_url)
+        self._log(str(root_url), "FETCH_SNIFF", page.status)
+        self.timer.wait_fetch_delay(0)
+
+        if page.status in (301, 302, 307) and page.redirect_to:
+            loc = parse_link(root_url, page.redirect_to)
+            if loc is not None and loc.domain == self.edge_domain:
+                self.frontier.add_first(loc)
+        elif page.status == 200 and page.content_type == "text/html":
+            self.frontier.link_filter_kind = select_filter_kind(
+                self.edge_domain.top_domain,
+                self.info.generator_meta,
+                self.info.has_lemmy_config,
+            )
+            self._enqueue_links(root_url, page)
+            self._record(page, root_url)
+
+            self._discover_feed(root_url, page)
+            favicon_url = root_url.with_path_and_param("/favicon.ico", None)
+            if self.rules.is_allowed(str(favicon_url)):
+                fav = self._fetch(favicon_url)
+                self._log(str(favicon_url), "FETCH_FAVICON", fav.status)
+            self.timer.wait_fetch_delay(0)
+        self.frontier.add_visited(root_url)
+        self.new_visits.append(str(root_url))
+
+    def _discover_feed(self, root_url: EdgeUrl, page: Page) -> Optional[str]:
+        for href in page.feed_links:
+            url = parse_link(root_url, href)
+            if url is not None and url.domain == root_url.domain:
+                return str(url)
+        for endpoint in LIKELY_FEED_ENDPOINTS:
+            url = root_url.with_path_and_param(endpoint, None)
+            if not self.rules.is_allowed(str(url)):
+                continue
+            p = self._fetch(url)
+            self._log(str(url), "FETCH_FEEDGUESS", p.status)
+            self.timer.wait_fetch_delay(0)
+            if p.status == 200 and p.body_marker:
+                head = p.body_marker[:128].lower()
+                if "<atom" in head or "<rss" in head:
+                    return str(url)
+        return None
+
+    def _enqueue_sitemaps(self, probed: EdgeUrl) -> None:
+        info = self.info
+        for sm in self.rules.sitemaps:
+            sm_url = parse_url(sm)
+            if sm_url is not None and sm_url.domain == self.edge_domain:
+                sm_page = self.web.page_at(sm_url.with_proto(info.proto))
+                if sm_page is not None:
+                    self._log(str(sm_url), "FETCH_SITEMAP", sm_page.status)
+                    urls = []
+                    for u in (info.sitemap_urls or [])[:20_000]:
+                        pu = parse_url(u)
+                        if pu is not None:
+                            urls.append(pu)
+                    self.frontier.add_all(urls)
+
+    def _recrawl(self, prev_crawl: list[dict]) -> tuple[int, int]:
+        """CrawlerRevisitor.recrawl with a seeded RNG (determinism pin)."""
+        rng = np.random.default_rng([self.seed, 555])
+        frontier = self.frontier
+        recrawled = retained = errors = skipped = size = 0
+
+        strategy = (
+            "SUMMARY"
+            if self.edge_domain.top_domain in ("substack.com", "blogspot.com", "wordpress.com")
+            else "FULL"
+        )
+        if strategy == "SUMMARY" and rng.random() > 0.9:
+            strategy = "FULL"
+
+        for doc in prev_crawl:
+            if errors > 20:
+                break
+            url = parse_url(doc["url"])
+            if url is None:
+                continue
+            if doc["http_status"] == 404:
+                frontier.add_visited(url)
+                continue
+            if doc["http_status"] not in (200, 206):
+                continue
+            if not doc.get("image_id"):
+                continue
+            if not frontier.has_correct_schema(url):
+                continue
+            if not frontier.filter_link(url):
+                continue
+            if not frontier.add_visited(url):
+                continue
+            if not self.rules.is_allowed(str(url)):
+                self._log(str(url), "REFUSED_ROBOTS")
+                continue
+            size += 1
+
+            if strategy == "SUMMARY" and recrawled >= 5 and retained > 0.8 * recrawled:
+                skip_prob = 1.0
+            else:
+                skip_prob = (retained / recrawled) if recrawled else 0.0
+                if skipped + recrawled > 10_000:
+                    skip_prob = min(max(skip_prob, 0.75), 0.99)
+                elif skipped + recrawled > 1000:
+                    skip_prob = min(max(skip_prob, 0.5), 0.75)
+                elif recrawled > 25:
+                    skip_prob = min(max(skip_prob, 0.0), 0.50)
+                else:
+                    skip_prob = 0.0
+
+            if rng.random() < skip_prob:
+                page = self.web.page_at(url)
+                if page is not None and page.links:
+                    self._enqueue_links(url, page)
+                self.new_visits.append(str(url))
+                self._log(str(url), "REFERENCE_COPY", doc["http_status"])
+                skipped += 1
+            else:
+                page = self._fetch(url)
+                spent = fetch_time_ms(str(url))
+                self._log(str(url), "FETCH_RECRAWL", page.status)
+                self.new_visits.append(str(url))
+                self.timer.wait_fetch_delay(spent)
+
+                is_same = (
+                    page.status == 200
+                    and doc.get("etag") is not None
+                    and page.etag == doc.get("etag")
+                )
+                if page.status == 200 and page.content_type == "text/html":
+                    self._enqueue_links(url, page)
+                    frontier.add_visited(url)
+                    self._record(page, url)
+                if is_same:
+                    retained += 1
+                elif page.status in (429, -1):
+                    errors += 1
+                recrawled += 1
+        return size, errors
+
+    # ------------------------------------------------------------------
+    # wave-boundary (de)serialization
+    # ------------------------------------------------------------------
+
+    def drain(self) -> tuple[list[dict], list[dict], list[str]]:
+        out = (self.new_crawl_data, self.new_fetch_log, self.new_visits)
+        self.new_crawl_data = []
+        self.new_fetch_log = []
+        self.new_visits = []
+        return out
+
+    def frontier_rows(self) -> list[dict]:
+        """Serialize queue + seen-set as frontier-table rows.
+
+        Queue membership and seen-state are orthogonal (the root URL is
+        enqueued by the ctor and marked VISITED by the sniff while still
+        queued), so QUEUED rows carry order only and every hash gets a
+        KNOWN/VISITED row.
+        """
+        rows = []
+        for seq, url_str in enumerate(self.frontier.queue):
+            url = EdgeUrl.from_string(url_str)
+            rows.append(
+                {
+                    "domain": self.info.domain,
+                    "url_hash": self.frontier.hash_url(url),
+                    "url": url_str,
+                    "seq": seq,
+                    "state": QUEUED,
+                }
+            )
+        for h, vis in self.frontier.visited.items():
+            rows.append(
+                {
+                    "domain": self.info.domain,
+                    "url_hash": h,
+                    "url": None,
+                    "seq": -1,
+                    "state": VISITED if vis else KNOWN,
+                }
+            )
+        return rows
+
+    def state_json(self) -> str:
+        return json.dumps(
+            {
+                "phase": self.phase,
+                "supports_https": self.frontier.supports_https,
+                "link_filter_kind": self.frontier.link_filter_kind,
+                "depth": self.frontier.depth,
+                "visited_cnt": self.frontier.visited_cnt,
+                "error_count": self.error_count,
+                "crawler_additions": self.crawler_additions,
+                "recrawl_size": self.recrawl_size,
+                "clock_ms": self.timer.clock_ms,
+                "slow_down": self.timer.slow_down,
+                "crawl_delay_ms": self.rules.crawl_delay_ms,
+                "robots": self.rules.to_dict(),
+            }
+        )
+
+    @classmethod
+    def rehydrate(
+        cls,
+        info: DomainInfo,
+        web: WebLike,
+        state_json: str,
+        frontier_rows: list[dict],
+        seed: int = 42,
+    ) -> "DomainCrawlSession":
+        st = json.loads(state_json)
+        sess = cls(info, web, seed=seed)
+        sess.phase = st["phase"]
+        f = sess.frontier
+        f.supports_https = st["supports_https"]
+        f.link_filter_kind = st["link_filter_kind"]
+        f.depth = st["depth"]
+        sess.error_count = st["error_count"]
+        sess.crawler_additions = st["crawler_additions"]
+        sess.recrawl_size = st["recrawl_size"]
+        sess.rules = RobotRules.from_dict(st["robots"])
+        sess.timer = Timer(st["crawl_delay_ms"], clock_ms=st["clock_ms"], slow_down=st["slow_down"])
+
+        queued = sorted(
+            (r for r in frontier_rows if r["state"] == QUEUED), key=lambda r: r["seq"]
+        )
+        for r in queued:
+            f.queue.append(r["url"])
+        for r in frontier_rows:
+            if r["state"] == KNOWN:
+                f.visited[int(r["url_hash"])] = False
+            elif r["state"] == VISITED:
+                f.visited[int(r["url_hash"])] = True
+        f.visited_cnt = st["visited_cnt"]
+        return sess
