@@ -1,38 +1,666 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline — a full synthetic-web crawl
+through the wave engine — at tiny scale and returns the crawl_data result.
+
+``queries()`` exposes every SURVEY.md §2 operator family that is
+expressible over the driver-provided tables, plus the training-data
+pipeline operators; ``oracle_sql()`` gives the DuckDB-checkable subset.
+Queries whose semantics cannot be expressed in ANSI SQL (the bit-exact
+URL hash, MinHash/SimHash near-dup, payload validation, the crawl itself)
+have no oracle entry → driver records the weaker rows-only check; their
+real correctness gates are the oracle-crawler equivalence tests in
+tests/ (python -m pytest -x -q).
+
+All oracle-checked queries return only ints/strings/decimals so the
+value-hash comparison is exact (doubles are rounded to fixed-point).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: the crawl itself
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Tiny end-to-end crawl: synthetic web → wave engine → crawl_data."""
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.synthetic_web import (
+        generate_web,
+        spark_schemas,
+        web_to_frames,
+    )
+
+    web, _ = generate_web(seed=42, n_domains=6, mean_pages=8)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    pages_schema, domains_schema = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=pages_schema)
+    domains = spark.createDataFrame(domains_pdf, schema=domains_schema)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+
+    out_dir = tempfile.mkdtemp(prefix="msx_entry_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+    return engine.read_table("crawl_data").select(
+        "domain", "url", "http_status", "content_type", "image_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query library
+# ---------------------------------------------------------------------------
+
+_SYNTH_URL = (
+    "CONCAT('HTTPS://WWW.Site', CAST(doc_id % 7 AS STRING), '.COM/Docs/',"
+    " CAST(doc_id AS STRING), '/?utm=x&id=', CAST(doc_id AS STRING), '#frag')"
+)
+
+
+def q_worklog_compaction(spark, sf_dir):
+    """Work-log compaction: last entry per domain wins (CrawlerMain:472-489
+    analogue over events)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .withColumnRenamed("event_id", "last_event_id")
+        .withColumnRenamed("event_type", "last_event_type")
+    )
+
+
+def q_frontier_firstwins(spark, sf_dir):
+    """addKnown first-wins dedup (DomainCrawlFrontier:125-132 analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+def q_availability_classify(spark, sf_dir):
+    """REACHABLE/FLAKEY classification with staleness + error windows
+    (CrawlerMain:331-378)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("now")).collect()[0]
+    now = bounds["now"]
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ping"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).alias("last_error"),
+    )
+    stale = F.lit(now) - F.expr("INTERVAL 3 DAYS")
+    errwin = F.lit(now) - F.expr("INTERVAL 7 DAYS")
+    state = (
+        F.when(F.col("last_ping") < stale, "MISSING")
+        .when(F.col("last_error").isNotNull() & (F.col("last_error") > errwin), "FLAKEY")
+        .otherwise("REACHABLE")
+    )
+    return (
+        per_user.withColumn("availability", state)
+        .filter(F.col("availability") != "MISSING")
+        .select("user_id", "availability")
+    )
+
+
+def q_priority_topk(spark, sf_dir):
+    """NDP priority-queue batch: ORDER BY priority DESC LIMIT 2000
+    (DomainTestingQueue:105-112)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("priority"),
+        )
+    )
+
+
+def q_timed_run_order(spark, sf_dir):
+    """Least-recently-crawled-first spec order with name tiebreak
+    (CrawlerMain:513-517; CrawlerMainTest:53-85). Rank encodes the order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    last = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_order"))
+    joined = c.join(last, c.c_custkey == last.o_custkey, "left").select(
+        "c_custkey", "last_order"
+    )
+    w = Window.orderBy(
+        F.coalesce(F.col("last_order"), F.lit("1970-01-01").cast("timestamp")).asc(),
+        F.col("c_custkey").asc(),
+    )
+    return joined.withColumn("crawl_rank", F.row_number().over(w)).select(
+        "c_custkey", "last_order", "crawl_rank"
+    )
+
+
+def q_depth_growth(spark, sf_dir):
+    """increaseDepth arithmetic: base=max(visited,depth);
+    min(base+2500, base*1.5) (DomainCrawlFrontier:69-76)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("visited"))
+    base = F.greatest(F.col("visited"), F.lit(100))
+    grown = F.least(base + F.lit(2500), F.floor(base * 1.5))
+    return per_user.select(
+        "user_id", "visited", grown.cast("long").alias("grown_depth")
+    )
+
+
+def q_spec_growth(spark, sf_dir):
+    """Next-cycle spec depth: clamp(visited*f,100,10000), f=2.5 below 2k
+    else 1.25 (CrawlerMain:98-101,770-781)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("visited"))
+    f_ = F.when(F.col("visited") < 2000, F.lit(2.5)).otherwise(F.lit(1.25))
+    depth = F.least(
+        F.greatest(F.floor(F.col("visited") * f_), F.lit(100)), F.lit(10_000)
+    )
+    return per_user.select("user_id", depth.cast("long").alias("next_depth"))
+
+
+def q_good_status_count(spark, sf_dir):
+    """Good-status filter-count (SlopCrawlDataRecord:261-275 analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("value") >= 0.5, 1).otherwise(0)).alias("n_good"),
+    )
+
+
+def q_error_budget(spark, sf_dir):
+    """Domains aborted at ≥20 errors (CrawlerRetreiver:38,212-215)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("error_count"))
+        .filter(F.col("error_count") >= 20)
+        .select("user_id", "error_count")
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization through the real kernel (EdgeUrl §1.2) on
+    synthesized messy URLs; the oracle constructs the expected canonical
+    form directly (restricted input shape makes it SQL-expressible)."""
+    from marginaliasearch_spark.functions.udfs import canonicalize
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_SYNTH_URL).alias("raw_url"))
+    c = raw.withColumn("c", canonicalize(F.col("raw_url")))
+    return raw.select("doc_id").join(
+        c.select(
+            "doc_id",
+            F.col("c.url_canon").alias("url_canon"),
+            F.col("c.domain").alias("domain"),
+            F.col("c.top_domain").alias("top_domain"),
+            F.col("c.param").alias("param"),
+        ),
+        "doc_id",
+    )
+
+
+def q_url_hash64(spark, sf_dir):
+    """The bit-exact 64-bit URL-seen hash (murmur-nearlyASCII fold) — not
+    SQL-expressible; golden-vector-tested in tests/test_murmur.py."""
+    from marginaliasearch_spark.functions.udfs import canonicalize
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_SYNTH_URL).alias("raw_url"))
+    return raw.select("doc_id", canonicalize(F.col("raw_url"))["url_hash"].alias("url_hash"))
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """UrlBlocklist admission control as pure Column predicates
+    (UrlBlocklist.java:15-94) over synthesized paths."""
+    from marginaliasearch_spark.operators.blocklist import blocked_col
+
+    docs = _t(spark, sf_dir, "documents")
+    path = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit("/repo/.git/obj"), F.col("doc_id"))
+    ).when(
+        F.col("doc_id") % 5 == 1,
+        F.concat(F.lit("/h/"), F.repeat(F.lit("a1"), 20), F.col("doc_id")),
+    ).when(
+        F.col("doc_id") % 5 == 2, F.concat(F.lit("/wp-content/upload/x"), F.col("doc_id"))
+    ).otherwise(F.concat(F.lit("/pages/p"), F.col("doc_id"), F.lit(".html")))
+    top = F.when(F.col("doc_id") % 11 == 0, F.lit("youtube.com")).otherwise(F.lit("site.com"))
+    d = docs.select("doc_id", top.alias("top_domain"), path.alias("path"))
+    return d.withColumn("blocked", blocked_col(F.col("top_domain"), F.col("path"))).select(
+        "doc_id", "top_domain", "path", F.col("blocked").cast("int").alias("blocked")
+    )
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 — the OLAP bench anchor (decimal-typed for exact compare)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_topn(spark, sf_dir):
+    """Join + agg + top-k (TPC-H Q3-ish): top 10 orders by revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(28,4)")
+            ).alias("revenue")
+        )
+    )
+    return (
+        o.join(rev, o.o_orderkey == rev.l_orderkey)
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "revenue")
+    )
+
+
+def q_events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup (streaming-agg analogue, run in batch)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    from marginaliasearch_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select(
+        "content_hash", "doc_id", "dup_count"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from marginaliasearch_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents")).select("doc_id", "ws_tokens")
+
+
+def q_quality_ratios(spark, sf_dir):
+    """Quality features as exact fixed-point ints (permille)."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_words = F.size(F.filter(F.split(text, "\\s+"), lambda w: F.length(w) > 0))
+    punct = n_chars - F.length(F.regexp_replace(text, "[!?.,;:]", ""))
+    upper = n_chars - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.floor(punct * 1000 / F.greatest(n_chars, F.lit(1))).cast("long").alias("punct_permille"),
+        F.floor(upper * 1000 / F.greatest(n_chars, F.lit(1))).cast("long").alias("upper_permille"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from marginaliasearch_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "lang_pred")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, fixed-point output."""
+    from marginaliasearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_permille")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector (IDs only —
+    float rank values stay out of the hash compare)."""
+    from marginaliasearch_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = cosine_topk_bruteforce(emb, q, k=10)
+    return top.select("vec_id")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Exact cosine≥0.4 near-dup pairs (small-dim demo threshold)."""
+    from marginaliasearch_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # exact (bucketless) variant for oracle comparability: self-join via
+    # single bucket — at this sf the exact pair set is the contract
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a_, v: a_ + v))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a_, v: a_ + v))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (na * nb))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (rows-only; signature math is not
+    SQL-expressible — verified against planted dups in tests)."""
+    from marginaliasearch_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), jaccard_threshold=0.7)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("jaccard_est") * 1000).cast("long").alias("jaccard_est_permille")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from marginaliasearch_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from marginaliasearch_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_payload_validate(spark, sf_dir):
+    """Image payload validation (decode/PSNR/caption/phash via mapInPandas
+    Arrow batches) over a deterministic corpus slice (rows-only)."""
+    from marginaliasearch_spark.plans.validate import validate_payloads
+    from marginaliasearch_spark.sources.corpus import generate_corpus
+
+    pdf = generate_corpus(42, 64)
+    corpus = spark.createDataFrame(pdf)
+    v = validate_payloads(corpus, seed=42)
+    return v.select(
+        "image_id",
+        "fmt",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        F.col("psnr_ok").cast("int").alias("psnr_ok"),
+        F.col("caption_ok").cast("int").alias("caption_ok"),
+        F.col("phash_match").cast("int").alias("phash_match"),
+    )
+
+
+def q_crawl_visited_set(spark, sf_dir):
+    """Flagship crawl at tiny scale: the final visited set per domain
+    (rows-only; the exact-order/seen-set gate is tests/test_spark_crawl.py)."""
+    import tempfile
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.synthetic_web import (
+        generate_web,
+        spark_schemas,
+        web_to_frames,
+    )
+
+    web, _ = generate_web(seed=42, n_domains=6, mean_pages=8)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=dms)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+    out_dir = tempfile.mkdtemp(prefix="msx_q_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+    v = engine.read_table("visits")
+    return v.groupBy("domain").agg(F.count("*").alias("n_visited"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "worklog_compaction": q_worklog_compaction,
+        "frontier_firstwins": q_frontier_firstwins,
+        "availability_classify": q_availability_classify,
+        "priority_topk": q_priority_topk,
+        "timed_run_order": q_timed_run_order,
+        "depth_growth": q_depth_growth,
+        "spec_growth": q_spec_growth,
+        "good_status_count": q_good_status_count,
+        "error_budget": q_error_budget,
+        "url_canonicalize": q_url_canonicalize,
+        "url_hash64": q_url_hash64,
+        "blocklist_filter": q_blocklist_filter,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "revenue_topn": q_revenue_topn,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "quality_ratios": q_quality_ratios,
+        "lang_id": q_lang_id,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "payload_validate": q_payload_validate,
+        "crawl_visited_set": q_crawl_visited_set,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "worklog_compaction": """
+            SELECT user_id,
+                   event_id AS last_event_id,
+                   event_type AS last_event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                FROM events) t
+            WHERE rn = 1
+        """,
+        "frontier_firstwins": """
+            SELECT user_id, event_type, event_id AS first_event_id
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+                FROM events) t
+            WHERE rn = 1
+        """,
+        "availability_classify": """
+            WITH now_t AS (SELECT max(ts) AS now FROM events),
+            per_user AS (
+                SELECT user_id,
+                       max(ts) AS last_ping,
+                       max(CASE WHEN event_type = 'error' THEN ts END) AS last_error
+                FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CASE WHEN last_error IS NOT NULL
+                             AND last_error > (SELECT now FROM now_t) - INTERVAL 7 DAY
+                        THEN 'FLAKEY' ELSE 'REACHABLE' END AS availability
+            FROM per_user
+            WHERE last_ping >= (SELECT now FROM now_t) - INTERVAL 3 DAY
+        """,
+        "priority_topk": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS priority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2000
+        """,
+        "timed_run_order": """
+            SELECT c_custkey, last_order,
+                   CAST(row_number() OVER (
+                       ORDER BY coalesce(last_order, TIMESTAMP '1970-01-01'),
+                                c_custkey) AS INT) AS crawl_rank
+            FROM (
+                SELECT c_custkey, max(o_orderdate) AS last_order
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey) t
+        """,
+        "depth_growth": """
+            SELECT user_id, visited,
+                   least(base + 2500, CAST(floor(base * 1.5) AS BIGINT)) AS grown_depth
+            FROM (
+                SELECT user_id, count(*) AS visited,
+                       greatest(count(*), 100) AS base
+                FROM events GROUP BY user_id) t
+        """,
+        "spec_growth": """
+            SELECT user_id,
+                   least(greatest(CAST(floor(visited *
+                       CASE WHEN visited < 2000 THEN 2.5 ELSE 1.25 END) AS BIGINT),
+                       100), 10000) AS next_depth
+            FROM (SELECT user_id, count(*) AS visited FROM events GROUP BY user_id) t
+        """,
+        "good_status_count": """
+            SELECT event_type,
+                   count(*) AS n_total,
+                   CAST(sum(CASE WHEN value >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+            FROM events GROUP BY event_type
+        """,
+        "error_budget": """
+            SELECT user_id, count(*) AS error_count
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id HAVING count(*) >= 20
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/Docs/'
+                       || CAST(doc_id AS VARCHAR) || '/?id=' || CAST(doc_id AS VARCHAR)
+                       AS url_canon,
+                   'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+                   'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS top_domain,
+                   'id=' || CAST(doc_id AS VARCHAR) AS param
+            FROM documents
+        """,
+        "blocklist_filter": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN 'youtube.com' ELSE 'site.com' END AS top_domain,
+                   path,
+                   CASE WHEN doc_id % 11 = 0 THEN 1
+                        WHEN doc_id % 5 = 0 THEN 1
+                        WHEN doc_id % 5 = 1 AND length(path) > 34 THEN 1
+                        WHEN doc_id % 5 = 2 THEN 1
+                        ELSE 0 END AS blocked
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN '/repo/.git/obj' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 5 = 1 THEN '/h/' || repeat('a1', 20) || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 5 = 2 THEN '/wp-content/upload/x' || CAST(doc_id AS VARCHAR)
+                            ELSE '/pages/p' || CAST(doc_id AS VARCHAR) || '.html' END AS path
+                FROM documents) t
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,4))) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_topn": """
+            SELECT o_orderkey, o_custkey, revenue
+            FROM orders JOIN (
+                SELECT l_orderkey,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                           AS DECIMAL(28,4))) AS revenue
+                FROM lineitem GROUP BY l_orderkey) r
+            ON o_orderkey = r.l_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "events_hourly_rollup": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+                   event_type,
+                   count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        x -> len(x) > 0)) AS INT) AS ws_tokens
+            FROM documents
+        """,
+        "quality_ratios": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        x -> len(x) > 0)) AS INT) AS n_words,
+                   CAST(floor((length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')))
+                        * 1000 / greatest(length(text), 1)) AS BIGINT) AS punct_permille,
+                   CAST(floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                        * 1000 / greatest(length(text), 1)) AS BIGINT) AS upper_permille
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       list_cosine_similarity(e.embedding, q.embedding) AS cosine
+                FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ) t
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+    }

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries + the crawl throughput
+bench and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_CRAWL_DOMAINS (default 48),
+SPARK_GRAFT_CRAWL_PAGES (default 40).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("marginaliasearch-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_topn",
+    "events_hourly_rollup",
+    "worklog_compaction",
+    "frontier_firstwins",
+    "priority_topk",
+    "url_canonicalize",
+    "url_hash64",
+    "blocklist_filter",
+    "exact_dedup",
+    "token_counts",
+    "quality_ratios",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ann_cosine_topk",
+    "doc_fingerprint",
+    "payload_validate",
+]
+
+
+def run_crawl_bench(spark, n_domains: int, mean_pages: int, seed: int = 42):
+    """Full synthetic-web crawl through the wave engine; returns
+    (wall_sec, urls_visited, urls_seen)."""
+    from pyspark.sql import functions as F
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.synthetic_web import (
+        generate_web,
+        spark_schemas,
+        web_to_frames,
+    )
+
+    web, _ = generate_web(seed=seed, n_domains=n_domains, mean_pages=mean_pages)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps).cache()
+    pages.count()
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+
+    out_dir = tempfile.mkdtemp(prefix="msx_bench_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=seed, n_buckets=32)
+
+    t0 = time.perf_counter()
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+    visited = engine.read_table("visits").count()
+    seen = (
+        engine.read_table("frontier")
+        .filter(F.col("state").isin("VISITED", "KNOWN"))
+        .count()
+    )
+    wall = time.perf_counter() - t0
+    return wall, visited, seen
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_domains = int(os.environ.get("SPARK_GRAFT_CRAWL_DOMAINS", "48"))
+    mean_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "40"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark(cpus)
+    qmap = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    crawl_wall, visited, seen = run_crawl_bench(spark, n_domains, mean_pages)
+    timings["crawl_e2e"] = round(crawl_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (crawl e2e + operator queries); "
+                "extra.crawl_urls_per_sec = URLs fetched+deduped/sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": {
+                    "crawl_urls_per_sec": round(visited / crawl_wall, 2),
+                    "crawl_urls_visited": visited,
+                    "crawl_urls_seen": seen,
+                    "crawl_domains": n_domains,
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

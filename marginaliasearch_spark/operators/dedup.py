@@ -1,0 +1,335 @@
+"""Deduplication operators over document tables — the training-data side
+of the engine (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+near-dup).  All hot paths are built-in Spark expressions or numpy-batch
+pandas UDFs; no per-row Python.
+
+The crawler-side analogue is the reference's EasyLSH content-similarity
+check (ref: code/libraries/easy-lsh/java/nu/marginalia/lsh/EasyLSH.java:
+12-87, hamming < 4 ⇒ same document); ``simhash_pairs`` generalizes it to
+corpus-wide near-dup detection.
+
+Scale notes: every family is a shuffle-on-key design —
+- exact:   groupBy(md5) with map-side combine; key cardinality ≈ rows.
+- minhash: explode to (band_hash) buckets → self-join inside buckets only;
+           band count k bounds the blow-up at k×rows; skewed buckets are
+           AQE-split and giant buckets (boilerplate collisions) capped.
+- simhash: 4×16-bit chunk index (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+           chunk) → candidate join on chunk equality → exact hamming check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row of each exact-duplicate group (hash-groupBy).
+
+    One shuffle on the content hash; map-side partial min keeps it lean.
+    """
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups with >1 member (the audit view)."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("keeper_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng([seed, 31337])
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling polynomial hashes of the k-shingles (character level),
+    vectorized: prefix-sum of byte polynomial over a fixed base."""
+    data = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+    n = len(data)
+    if n < k:
+        data = np.pad(data, (0, k - n), constant_values=32)
+        n = k
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = 1
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * base
+        # windowed dot product via strided view
+        windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        return (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+
+
+def minhash_signature_batch(texts, num_hashes: int = 64, k: int = 5, seed: int = 42) -> list:
+    """MinHash signatures for a batch of texts (numpy, no per-row Python in
+    the inner loop over hash functions)."""
+    a, b = _minhash_params(num_hashes, seed)
+    out = []
+    with np.errstate(over="ignore"):
+        for text in texts:
+            sh = np.unique(_shingle_hashes(text or "", k))
+            # (a*x + b) mod p for all hash fns × shingles; min over shingles
+            vals = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=1).astype(np.int64))
+    return out
+
+
+def with_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def mh(texts: pd.Series) -> pd.Series:
+        sigs = minhash_signature_batch(texts.tolist(), num_hashes, k, seed)
+        return pd.Series([s.tolist() for s in sigs])
+
+    return docs.withColumn("minhash", mh(F.col(text_col)))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
+    signature-estimated Jaccard.
+
+    shingle→minhash (pandas UDF, Arrow) → explode to band keys →
+    bucket self-join (shuffle on band hash only) → exact signature check.
+    ``max_bucket`` caps degenerate buckets (boilerplate) to bound the
+    self-join blow-up at scale.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(docs, text_col, num_hashes, k, seed).select(id_col, "minhash")
+
+    band_cols = [
+        F.xxhash64(
+            F.lit(i), F.slice("minhash", i * rows_per_band + 1, rows_per_band)
+        ).alias("band_hash")
+        for i in range(bands)
+    ]
+    banded = sig.select(
+        id_col, "minhash", F.explode(F.array(*band_cols)).alias("band_hash")
+    )
+
+    # cap pathological buckets
+    bucket_sizes = banded.groupBy("band_hash").count()
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("count") > max_bucket).select("band_hash")),
+        "band_hash",
+        "left_anti",
+    )
+
+    a = banded.select(
+        F.col("band_hash"),
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    b = banded.select(
+        F.col("band_hash"),
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    pairs = (
+        a.join(b, "band_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        pairs.withColumn("jaccard_est", est.cast("double"))
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(texts, k: int = 4, seed: int = 42) -> np.ndarray:
+    """64-bit SimHash over k-shingles: per-bit majority vote of shingle
+    hashes, fully vectorized per document."""
+    out = np.empty(len(texts), dtype=np.int64)
+    rng_salt = np.uint64(np.random.default_rng([seed, 911]).integers(1, 1 << 62))
+    with np.errstate(over="ignore"):
+        for i, text in enumerate(texts):
+            sh = np.unique(_shingle_hashes(text or "", k)) * rng_salt
+            # fmix for bit diffusion
+            sh ^= sh >> np.uint64(33)
+            sh *= np.uint64(0xFF51AFD7ED558CCD)
+            sh ^= sh >> np.uint64(29)
+            bits = (sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            votes = bits.sum(axis=0) * 2 > len(sh)
+            v = 0
+            for bit in votes[::-1]:
+                v = (v << 1) | int(bit)
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+    return out
+
+
+def with_simhash(docs: DataFrame, text_col: str = "text", seed: int = 42) -> DataFrame:
+    @pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(simhash_batch(texts.tolist(), seed=seed))
+
+    return docs.withColumn("simhash", sh(F.col(text_col)))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split 64 bits into 4 chunks of 16; hamming ≤ 3 ⇒
+    at least one chunk identical → candidate join per chunk (4 narrow
+    shuffles) → exact ``bit_count(xor)`` verification, all JVM-side.
+    """
+    sigs = with_simhash(docs, text_col, seed=seed).select(id_col, "simhash")
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    t = sigs.select(id_col, "simhash", *chunks)
+
+    parts = []
+    for i in range(4):
+        a = t.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{i}").alias("ck")
+        )
+        b = t.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{i}").alias("ck")
+        )
+        parts.append(a.join(b, "ck").filter(F.col("id_a") < F.col("id_b")).drop("ck"))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via shingle explode + pair aggregation.
+
+    distinct (id, shingle) → self-join on shingle → |∩| per pair →
+    |∪| = |A|+|B|−|∩|.  Pure built-in ops; the shingle join is the shuffle.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )
+        ).alias("gram"),
+    ).distinct()
+
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine over a similarity threshold)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold, random-hyperplane-LSH
+    bucketed so the self-join never goes all-pairs (see similarity.py for
+    the shared plumbing)."""
+    from .similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(emb, vec_col, id_col, threshold, n_planes, seed)

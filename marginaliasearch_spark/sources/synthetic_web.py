@@ -456,6 +456,96 @@ def web_to_frames(web: SyntheticWeb):
     return pd.DataFrame(prows), pd.DataFrame(drows)
 
 
+def spark_schemas():
+    """Explicit StructTypes for the web tables (schema inference would fail
+    on all-null columns; the engine declares schemas, never infers —
+    matching the reference's fixed-schema discipline, SURVEY §1.1)."""
+    from pyspark.sql import types as T
+
+    pages = T.StructType(
+        [
+            T.StructField("domain", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("param", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("redirect_to", T.StringType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("image_id", T.StringType()),
+            T.StructField("base_href", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+            T.StructField("feed_links", T.ArrayType(T.StringType())),
+            T.StructField("body_marker", T.StringType()),
+            T.StructField("etag", T.StringType()),
+            T.StructField("last_modified", T.StringType()),
+        ]
+    )
+    domains = T.StructType(
+        [
+            T.StructField("domain", T.StringType()),
+            T.StructField("top_domain", T.StringType()),
+            T.StructField("proto", T.StringType()),
+            T.StructField("probe", T.StringType()),
+            T.StructField("robots_txt", T.StringType()),
+            T.StructField("site_kind", T.StringType()),
+            T.StructField("crawl_depth", T.IntegerType()),
+            T.StructField("seed_urls", T.ArrayType(T.StringType())),
+            T.StructField("sitemap_urls", T.ArrayType(T.StringType())),
+            T.StructField("generator_meta", T.StringType()),
+            T.StructField("has_lemmy_config", T.BooleanType()),
+        ]
+    )
+    return pages, domains
+
+
+class DomainPagesWeb:
+    """WebLike view over one domain's pages (the cogrouped pandas slice a
+    Spark wave UDF receives).  Same fetch semantics as SyntheticWeb."""
+
+    def __init__(self, domain: str, proto: str, pages_pdf):
+        self.domain = domain
+        self.proto = proto
+        self._pages: dict = {}
+        def _nn(v):
+            if v is None:
+                return None
+            if isinstance(v, float) and np.isnan(v):
+                return None
+            return v
+
+        for rec in pages_pdf.to_dict("records"):
+            links = rec.get("links")
+            feeds = rec.get("feed_links")
+            page = Page(
+                url=rec["url"],
+                domain=rec["domain"],
+                path=rec["path"],
+                param=_nn(rec.get("param")),
+                status=int(rec["status"]),
+                redirect_to=_nn(rec.get("redirect_to")),
+                content_type=_nn(rec.get("content_type")) or HTML,
+                image_id=_nn(rec.get("image_id")),
+                base_href=_nn(rec.get("base_href")),
+                links=list(links) if links is not None else [],
+                feed_links=list(feeds) if feeds is not None else [],
+                body_marker=_nn(rec.get("body_marker")),
+                etag=_nn(rec.get("etag")),
+                last_modified=_nn(rec.get("last_modified")),
+            )
+            self._pages[(page.domain, page.path, page.param)] = page
+
+    def page_at(self, url: EdgeUrl) -> Optional[Page]:
+        return self._pages.get((url.domain.address, url.path, url.param))
+
+    def fetch(self, url: EdgeUrl) -> Page:
+        if url.domain.address != self.domain or url.proto != self.proto:
+            return Page(str(url), url.domain.address, url.path, url.param, -1)
+        page = self.page_at(url)
+        if page is None:
+            return Page(str(url), url.domain.address, url.path, url.param, 404)
+        return page
+
+
 def fetch_time_ms(url: str) -> int:
     """Deterministic simulated fetch duration for the virtual clock."""
     from ..canon.murmur import hash_nearly_ascii
