@@ -28,6 +28,8 @@ Two implementations are provided:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 _C1 = 0x87C37B91114253D5
@@ -71,8 +73,15 @@ def _to_signed64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
+@lru_cache(maxsize=1 << 17)
 def hash_nearly_ascii(s: str) -> int:
-    """64-bit 'nearlyASCII' murmur of a Python string, as signed int64."""
+    """64-bit 'nearlyASCII' murmur of a Python string, as signed int64.
+
+    LRU-cached: the crawl loop re-hashes the same domain/path strings many
+    times (every membership probe hashes the domain again); the cache is
+    per-process (per Spark python worker), bounded, and safe because the
+    function is pure.
+    """
     data = _utf16_units(s)
     length = len(data)
     seed = java_string_hashcode(s) & _M64  # sign-extends into 64 bits

@@ -452,7 +452,7 @@ class EdgeUrl:
     Equality and hashing ignore proto and port (EdgeUrl.java:161-188).
     """
 
-    __slots__ = ("proto", "domain", "port", "path", "param")
+    __slots__ = ("proto", "domain", "port", "path", "param", "_str")
 
     def __init__(
         self,
@@ -467,6 +467,7 @@ class EdgeUrl:
         self.port = _elide_port(port, proto)
         self.path = path
         self.param = param
+        self._str = None
 
     @classmethod
     def from_string(cls, url: str) -> "EdgeUrl":
@@ -484,13 +485,15 @@ class EdgeUrl:
         return cls(proto, EdgeDomain(host), port, path, param)
 
     def __str__(self) -> str:
-        out = [self.proto, "://", self.domain.address]
-        if self.port is not None:
-            out.append(f":{self.port}")
-        out.append(urlencode_path(self.path))
-        if self.param is not None:
-            out.append(urlencode_query(self.param))
-        return "".join(out)
+        if self._str is None:  # memo: objects are immutable, str() is hot
+            out = [self.proto, "://", self.domain.address]
+            if self.port is not None:
+                out.append(f":{self.port}")
+            out.append(urlencode_path(self.path))
+            if self.param is not None:
+                out.append(urlencode_query(self.param))
+            self._str = "".join(out)
+        return self._str
 
     def display(self) -> str:
         out = [self.proto, "://", self.domain.address]

@@ -133,7 +133,9 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int):
         state_json = ds["state_json"]
         if state_json is None or (isinstance(state_json, float)):
             # fresh domain: setup (+ recrawl replay if prev data present)
-            prev_rows = state_pdf[state_pdf.row_kind == "prev_crawl"]
+            # replay order = stored order (the reference iterates the prior
+            # Slop table sequentially); `seq` carries the position
+            prev_rows = state_pdf[state_pdf.row_kind == "prev_crawl"].sort_values("seq")
             prev = (
                 prev_rows[["url", "http_status", "image_id", "etag"]]
                 .assign(http_status=lambda d: d.http_status.astype(int))
@@ -372,7 +374,7 @@ class SparkCrawlEngine:
                     F.lit("prev_crawl").alias("row_kind"),
                     F.lit(0).cast("long").alias("url_hash"),
                     "url",
-                    F.lit(0).cast("long").alias("seq"),
+                    F.col("pos").cast("long").alias("seq"),
                     F.lit(None).cast("string").alias("state"),
                     F.lit(None).cast("string").alias("state_json"),
                     F.lit(None).cast("string").alias("info_json"),

@@ -23,14 +23,32 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402
+
 from bench import build_spark, run_crawl_bench  # noqa: E402
+
+
+def _make_warm_udf():
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def ident(x: pd.Series) -> pd.Series:
+        return x
+
+    ident.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    return pandas_udf(ident, "long")
 
 
 def crawl_at(cpus: int, n_domains: int, mean_pages: int):
     spark = build_spark(cpus)
     try:
-        # warm the JVM/Python workers so fixed startup cost doesn't skew
-        spark.range(1000).selectExpr("sum(id)").collect()
+        # warm the JVM and spawn the Python workers so one-time startup
+        # cost doesn't contaminate the throughput measurement
+        from pyspark.sql import functions as F
+
+        warm = _make_warm_udf()
+        spark.range(cpus * 64).repartition(cpus * 2).select(
+            warm(F.col("id"))
+        ).count()
         wall, visited, seen = run_crawl_bench(spark, n_domains, mean_pages)
         return wall, visited, seen
     finally:
@@ -39,8 +57,8 @@ def crawl_at(cpus: int, n_domains: int, mean_pages: int):
 
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-    n_domains = int(os.environ.get("SPARK_GRAFT_CRAWL_DOMAINS", "96"))
-    mean_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "60"))
+    n_domains = int(os.environ.get("SPARK_GRAFT_CRAWL_DOMAINS", "2048"))
+    mean_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "50"))
 
     wall_n, visited_n, seen_n = crawl_at(n, n_domains, mean_pages)
     wall_4n, visited_4n, seen_4n = crawl_at(4 * n, n_domains, mean_pages)
