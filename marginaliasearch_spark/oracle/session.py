@@ -97,10 +97,17 @@ class Timer:
 class DomainCrawlSession:
     """Phases: pending → (blocked|redirect|error | active) → done."""
 
-    def __init__(self, info: DomainInfo, web: WebLike, seed: int = 42):
+    def __init__(
+        self,
+        info: DomainInfo,
+        web: WebLike,
+        seed: int = 42,
+        validate_payload: bool = False,
+    ):
         self.info = info
         self.web = web
         self.seed = seed
+        self.validate_payload = validate_payload
         self.edge_domain = EdgeDomain(info.domain)
 
         self.phase = "pending"
@@ -240,17 +247,35 @@ class DomainCrawlSession:
         return page
 
     def _record(self, page: Page, url: EdgeUrl) -> None:
-        self.new_crawl_data.append(
-            {
-                "domain": self.info.domain,
-                "url": str(url),
-                "http_status": page.status,
-                "content_type": page.content_type,
-                "image_id": page.image_id,
-                "etag": page.etag,
-                "last_modified": page.last_modified,
-            }
-        )
+        rec = {
+            "domain": self.info.domain,
+            "url": str(url),
+            "http_status": page.status,
+            "content_type": page.content_type,
+            "image_id": page.image_id,
+            "etag": page.etag,
+            "last_modified": page.last_modified,
+        }
+        if self.validate_payload and page.image_id:
+            # inline payload validation: decode the fetched image (numpy)
+            # and verify the PSNR invariant + compute the phash — the real
+            # per-document CPU cost of the image-crawl pipeline
+            from ..functions.imagecodec import (
+                LOSSY_FORMATS,
+                decode_image,
+                encode_image,
+                phash64,
+                psnr,
+            )
+            from ..sources.corpus import make_image
+
+            idx = int(page.image_id.split("-")[1])
+            src, fmt = make_image(self.seed, idx)
+            arr, fmt2 = decode_image(encode_image(src, fmt))
+            p = psnr(src, arr)
+            rec["phash"] = phash64(arr)
+            rec["psnr_ok"] = bool(p >= 40.0) if fmt2 in LOSSY_FORMATS else True
+        self.new_crawl_data.append(rec)
 
     def _enqueue_links(self, base_url: EdgeUrl, page: Page) -> None:
         base = get_base_link([page.base_href] if page.base_href else [], base_url)

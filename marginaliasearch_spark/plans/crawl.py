@@ -102,7 +102,7 @@ def _row(row_kind: str, domain: str, **kw) -> dict:
     return base
 
 
-def _make_wave_fn(wave_budget: Optional[int], seed: int):
+def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool = False):
     """Build the cogrouped wave UDF (runs once per domain per wave)."""
 
     def wave_fn(state_pdf: pd.DataFrame, pages_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -143,12 +143,13 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int):
                 if not prev_rows.empty
                 else None
             )
-            sess = DomainCrawlSession(info, web, seed=seed)
+            sess = DomainCrawlSession(info, web, seed=seed, validate_payload=validate_payload)
             phase = sess.setup(prev_crawl=prev)
         else:
             fr = state_pdf[state_pdf.row_kind == "frontier"]
             frontier_rows = fr[["url_hash", "url", "seq", "state"]].to_dict("records")
             sess = DomainCrawlSession.rehydrate(info, web, state_json, frontier_rows, seed=seed)
+            sess.validate_payload = validate_payload
             phase = sess.phase
 
         if phase == "active":
@@ -235,11 +236,13 @@ class SparkCrawlEngine:
         out_dir: str,
         seed: int = 42,
         n_buckets: int = 32,
+        validate_inline: bool = False,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(out_dir)
         self.seed = seed
         self.n_buckets = n_buckets
+        self.validate_inline = validate_inline
 
     # -- helpers ---------------------------------------------------------
 
@@ -325,7 +328,33 @@ class SparkCrawlEngine:
         max_waves: int = 10_000,
         prev_crawl_df: Optional[DataFrame] = None,
     ) -> int:
-        """Advance all domains to terminal phase; returns wave count."""
+        """Advance all domains to terminal phase; returns wave count.
+
+        AQE partition coalescing is disabled for the wave jobs: it merges
+        shuffle partitions by *byte size*, and the wave groups are tiny in
+        bytes but heavy in compute (the per-domain crawl loop), so
+        coalescing collapses the whole wave into one task and serializes
+        the crawl.  Restored afterwards — for the scan/join/agg queries
+        AQE coalescing is exactly right.
+        """
+        conf = self.spark.conf
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        old_coalesce = conf.get(key, "true")
+        conf.set(key, "false")
+        try:
+            return self._run_waves_inner(
+                web_pages_df, wave_budget, max_waves, prev_crawl_df
+            )
+        finally:
+            conf.set(key, old_coalesce)
+
+    def _run_waves_inner(
+        self,
+        web_pages_df: DataFrame,
+        wave_budget: Optional[int],
+        max_waves: int,
+        prev_crawl_df: Optional[DataFrame],
+    ) -> int:
         waves_done = 0
         pages_grouped = web_pages_df.groupby("domain")
 
@@ -384,7 +413,7 @@ class SparkCrawlEngine:
                 )
                 left = left.unionByName(pc)
 
-            wave_fn = _make_wave_fn(wave_budget, self.seed)
+            wave_fn = _make_wave_fn(wave_budget, self.seed, self.validate_inline)
             out = (
                 left.groupby("domain")
                 .cogroup(pages_grouped)
@@ -429,6 +458,16 @@ class SparkCrawlEngine:
 
             self.catalog.commit(wave, table_paths)
             waves_done += 1
+
+            # early exit: if this wave left no active domains, skip the
+            # next iteration's read-back (saves a whole Spark job round)
+            none_active = (
+                self.spark.read.parquet(dpath)
+                .filter(F.col("phase").isin("pending", "active"))
+                .isEmpty()
+            )
+            if none_active:
+                break
 
         return waves_done
 
