@@ -104,6 +104,14 @@ def minhash_signature_batch(texts, num_hashes: int = 64, k: int = 5, seed: int =
     return out
 
 
+def _spread_for_compute(df: DataFrame) -> DataFrame:
+    """Signature computation is compute-bound, not byte-bound: a small
+    single-file table arrives as one input partition and would serialize
+    the UDF.  Spread to the cluster's parallelism first."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def with_minhash(
     docs: DataFrame,
     text_col: str = "text",
@@ -116,7 +124,7 @@ def with_minhash(
         sigs = minhash_signature_batch(texts.tolist(), num_hashes, k, seed)
         return pd.Series([s.tolist() for s in sigs])
 
-    return docs.withColumn("minhash", mh(F.col(text_col)))
+    return _spread_for_compute(docs).withColumn("minhash", mh(F.col(text_col)))
 
 
 def minhash_lsh_pairs(
@@ -218,7 +226,7 @@ def with_simhash(docs: DataFrame, text_col: str = "text", seed: int = 42) -> Dat
     def sh(texts: pd.Series) -> pd.Series:
         return pd.Series(simhash_batch(texts.tolist(), seed=seed))
 
-    return docs.withColumn("simhash", sh(F.col(text_col)))
+    return _spread_for_compute(docs).withColumn("simhash", sh(F.col(text_col)))
 
 
 def simhash_pairs(

@@ -78,7 +78,9 @@ def validate_payloads(corpus: DataFrame, seed: int = 42, psnr_min: float = 40.0)
             yield pd.DataFrame(out)
 
     cols = ["image_id", "bytes", "fmt", "caption", "phash"]
-    return corpus.select(*cols).mapInPandas(batches, VERDICT_SCHEMA)
+    # compute-bound: spread small single-file inputs across the cluster
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    return corpus.select(*cols).repartition(n).mapInPandas(batches, VERDICT_SCHEMA)
 
 
 def phash_column(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:

@@ -108,7 +108,7 @@ def crawl_at(cpus: int, web_dir: str):
 
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-    n_domains = int(os.environ.get("SPARK_GRAFT_CRAWL_DOMAINS", "2048"))
+    n_domains = int(os.environ.get("SPARK_GRAFT_CRAWL_DOMAINS", "4096"))
     mean_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "50"))
 
     from marginaliasearch_spark.sources.synthetic_web import (
