@@ -309,6 +309,36 @@ def q_events_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative sum over a window) —
+    the classic stateful-stream pattern run in batch."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap_flag = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    flagged = ev.withColumn("new_session", gap_flag)
+    sess = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(w)
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def q_event_type_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns (conditional agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("n_signup"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     from marginaliasearch_spark.operators.dedup import exact_dedup
 
@@ -476,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_topn": q_revenue_topn,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "sessionization": q_sessionization,
+        "event_type_pivot": q_event_type_pivot,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "quality_ratios": q_quality_ratios,
@@ -625,6 +657,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(value AS DECIMAL(18,6))) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionization": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, event_id,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event_id,
+                   max(event_id) AS last_event_id
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+                   sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY user_id
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_hash,
