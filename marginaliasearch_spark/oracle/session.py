@@ -127,7 +127,11 @@ class DomainCrawlSession:
     # wave 0: probe + robots + sniff + recrawl + sitemaps
     # ------------------------------------------------------------------
 
-    def setup(self, prev_crawl: Optional[list[dict]] = None) -> str:
+    def setup(
+        self,
+        prev_crawl: Optional[list[dict]] = None,
+        atag_urls: Optional[list[str]] = None,
+    ) -> str:
         assert self.phase == "pending"
         info = self.info
 
@@ -167,6 +171,16 @@ class DomainCrawlSession:
             self.error_count += rc_errors
             if self.recrawl_size > 0:
                 self.frontier.increase_depth(1.5, 2500)
+
+        # anchor-tags side input: external links pointing at this domain
+        # (ref: CrawlerMain.java:675; CrawlerRetreiver.java:195-196)
+        if atag_urls:
+            urls = []
+            for u in atag_urls:
+                pu = parse_url(u)
+                if pu is not None:
+                    urls.append(pu)
+            self.frontier.add_all(urls)
 
         self._enqueue_sitemaps(probed)
 
@@ -331,19 +345,33 @@ class DomainCrawlSession:
         return None
 
     def _enqueue_sitemaps(self, probed: EdgeUrl) -> None:
+        """Walk robots-declared sitemaps (same-domain only) through the
+        urlset/sitemapindex/rss/atom parser with the reference's caps
+        (HttpFetcherImpl.java:491-618; CrawlerRetreiver.java:199-207)."""
+        from ..functions.sitemap import walk_sitemaps
+
         info = self.info
+
+        def fetch_xml(u: str):
+            pu = parse_url(u)
+            if pu is None or pu.domain != self.edge_domain:
+                return None
+            page = self.web.page_at(pu.with_proto(info.proto))
+            if page is None:
+                return None
+            self._log(str(pu), "FETCH_SITEMAP", page.status)
+            self.timer.sleep(fetch_time_ms(str(pu)))
+            return page.body_marker
+
         for sm in self.rules.sitemaps:
             sm_url = parse_url(sm)
             if sm_url is not None and sm_url.domain == self.edge_domain:
-                sm_page = self.web.page_at(sm_url.with_proto(info.proto))
-                if sm_page is not None:
-                    self._log(str(sm_url), "FETCH_SITEMAP", sm_page.status)
-                    urls = []
-                    for u in (info.sitemap_urls or [])[:20_000]:
-                        pu = parse_url(u)
-                        if pu is not None:
-                            urls.append(pu)
-                    self.frontier.add_all(urls)
+                urls = []
+                for u in walk_sitemaps(str(sm_url.with_proto(info.proto)), fetch_xml):
+                    pu = parse_url(u)
+                    if pu is not None:
+                        urls.append(pu)
+                self.frontier.add_all(urls)
 
     def _recrawl(self, prev_crawl: list[dict]) -> tuple[int, int]:
         """CrawlerRevisitor.recrawl with a seeded RNG (determinism pin)."""

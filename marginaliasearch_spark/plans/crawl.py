@@ -143,8 +143,10 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
                 if not prev_rows.empty
                 else None
             )
+            atag_rows = state_pdf[state_pdf.row_kind == "atag"].sort_values("seq")
+            atags = atag_rows["url"].tolist() if not atag_rows.empty else None
             sess = DomainCrawlSession(info, web, seed=seed, validate_payload=validate_payload)
-            phase = sess.setup(prev_crawl=prev)
+            phase = sess.setup(prev_crawl=prev, atag_urls=atags)
         else:
             fr = state_pdf[state_pdf.row_kind == "frontier"]
             frontier_rows = fr[["url_hash", "url", "seq", "state"]].to_dict("records")
@@ -327,6 +329,7 @@ class SparkCrawlEngine:
         wave_budget: Optional[int] = None,
         max_waves: int = 10_000,
         prev_crawl_df: Optional[DataFrame] = None,
+        atags_df: Optional[DataFrame] = None,
     ) -> int:
         """Advance all domains to terminal phase; returns wave count.
 
@@ -343,7 +346,7 @@ class SparkCrawlEngine:
         conf.set(key, "false")
         try:
             return self._run_waves_inner(
-                web_pages_df, wave_budget, max_waves, prev_crawl_df
+                web_pages_df, wave_budget, max_waves, prev_crawl_df, atags_df
             )
         finally:
             conf.set(key, old_coalesce)
@@ -354,6 +357,7 @@ class SparkCrawlEngine:
         wave_budget: Optional[int],
         max_waves: int,
         prev_crawl_df: Optional[DataFrame],
+        atags_df: Optional[DataFrame] = None,
     ) -> int:
         waves_done = 0
         pages_grouped = web_pages_df.groupby("domain")
@@ -412,6 +416,22 @@ class SparkCrawlEngine:
                     "etag",
                 )
                 left = left.unionByName(pc)
+            if atags_df is not None:
+                pending = active.filter(F.col("phase") == "pending").select("domain")
+                at = atags_df.join(pending, "domain", "left_semi").select(
+                    "domain",
+                    F.lit("atag").alias("row_kind"),
+                    F.lit(0).cast("long").alias("url_hash"),
+                    "url",
+                    F.col("pos").cast("long").alias("seq"),
+                    F.lit(None).cast("string").alias("state"),
+                    F.lit(None).cast("string").alias("state_json"),
+                    F.lit(None).cast("string").alias("info_json"),
+                    F.lit(0).cast("int").alias("http_status"),
+                    F.lit(None).cast("string").alias("image_id"),
+                    F.lit(None).cast("string").alias("etag"),
+                )
+                left = left.unionByName(at)
 
             wave_fn = _make_wave_fn(wave_budget, self.seed, self.validate_inline)
             out = (

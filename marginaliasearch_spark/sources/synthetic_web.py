@@ -290,6 +290,7 @@ def generate_web(
         # sitemap: some domains expose extra orphan pages through it
         sitemap_url = None
         sitemap_urls: list[str] = []
+        nested_sitemap = i % 8 == 2  # some domains use a sitemapindex root
         if i % 4 == 2 and n_pages > 6:
             sitemap_url = f"{proto}://{name}/sitemap.xml"
             orphan_paths = [(f"/orphan/sm{k}.html", None) for k in range(3)]
@@ -403,11 +404,38 @@ def generate_web(
                 body_marker="<rss version=\"2.0\">",
             )
         if sitemap_url:
-            pages[(name, "/sitemap.xml", None)] = Page(
-                url=sitemap_url, domain=name, path="/sitemap.xml", param=None,
-                status=200, content_type="application/xml",
-                body_marker="<urlset>",
-            )
+            # serve real sitemap XML; the crawler walks it through the
+            # urlset/sitemapindex parser (functions/sitemap.py)
+            def _urlset(urls):
+                body = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+                return f'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{body}</urlset>'
+
+            if nested_sitemap:
+                half = len(sitemap_urls) // 2
+                subs = [
+                    (f"/sitemap-a.xml", sitemap_urls[:half]),
+                    (f"/sitemap-b.xml", sitemap_urls[half:]),
+                ]
+                index_body = "".join(
+                    f"<sitemap><loc>{proto}://{name}{p}</loc></sitemap>" for p, _ in subs
+                )
+                pages[(name, "/sitemap.xml", None)] = Page(
+                    url=sitemap_url, domain=name, path="/sitemap.xml", param=None,
+                    status=200, content_type="application/xml",
+                    body_marker=f'<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{index_body}</sitemapindex>',
+                )
+                for p, urls in subs:
+                    pages[(name, p, None)] = Page(
+                        url=f"{proto}://{name}{p}", domain=name, path=p, param=None,
+                        status=200, content_type="application/xml",
+                        body_marker=_urlset(urls),
+                    )
+            else:
+                pages[(name, "/sitemap.xml", None)] = Page(
+                    url=sitemap_url, domain=name, path="/sitemap.xml", param=None,
+                    status=200, content_type="application/xml",
+                    body_marker=_urlset(sitemap_urls),
+                )
 
     return SyntheticWeb(domains, pages), img_counter
 
