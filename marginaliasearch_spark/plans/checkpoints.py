@@ -29,7 +29,9 @@ from typing import Optional
 
 APPEND_TABLES = ("wave_out",)  # unified append log; crawl_data/fetch_log/
 # visits are row_kind-filtered views over it (one physical write per wave)
-REPLACE_TABLES = ("frontier", "domain_state")
+REPLACE_TABLES = ("domain_state",)
+# the frontier is tracked per bucket (manifest key "frontier_buckets") —
+# Iceberg partition-overwrite semantics: a wave only rewrites dirty buckets
 
 
 class SnapshotCatalog:
@@ -59,9 +61,16 @@ class SnapshotCatalog:
         with open(self._snap_path(n)) as f:
             return json.load(f)
 
-    def commit(self, wave: int, table_paths: dict[str, Optional[str]]) -> dict:
+    def commit(
+        self,
+        wave: int,
+        table_paths: dict[str, Optional[str]],
+        frontier_buckets: Optional[dict[int, str]] = None,
+    ) -> dict:
         """Commit wave N: append-table paths accumulate, replace-table paths
-        supersede.  ``table_paths[t]`` is the new data path for t (or None).
+        supersede.  ``frontier_buckets`` maps *dirty* bucket ids to their new
+        per-bucket data path (Iceberg partition-overwrite semantics: clean
+        buckets keep pointing at their previous files).
         Atomic via write-to-temp + rename."""
         prev = self.load()
         manifest = {"wave": wave, "tables": {}}
@@ -75,11 +84,22 @@ class SnapshotCatalog:
                 manifest["tables"][t] = [table_paths[t]]
             else:
                 manifest["tables"][t] = list(prev["tables"].get(t, []))
+        buckets = dict(prev.get("frontier_buckets", {}))
+        if frontier_buckets:
+            for b, p in frontier_buckets.items():
+                if p is None:  # dirty bucket emptied out this wave
+                    buckets.pop(str(b), None)
+                else:
+                    buckets[str(b)] = p
+        manifest["frontier_buckets"] = buckets
         tmp = self._snap_path(wave) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._snap_path(wave))
         return manifest
+
+    def frontier_bucket_paths(self, snapshot: Optional[int] = None) -> dict[str, str]:
+        return self.load(snapshot).get("frontier_buckets", {})
 
     # -- table IO helpers -------------------------------------------------
 

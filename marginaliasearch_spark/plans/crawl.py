@@ -263,6 +263,13 @@ class SparkCrawlEngine:
             )
         if table == "visits":
             return self._wave_view("visits", ["domain", "url", "idx", "wave"], kind="visit")
+        if table == "frontier":
+            bucket_paths = self.catalog.frontier_bucket_paths()
+            if not bucket_paths:
+                return None
+            df = self.spark.read.parquet(*bucket_paths.values())
+            # the bucket partition column is re-derived (deterministic hash)
+            return df.withColumn("bucket", self._bucket(F.col("domain")))
         paths = self.catalog.paths(table)
         if not paths:
             return None
@@ -449,20 +456,36 @@ class SparkCrawlEngine:
             table_paths: dict[str, Optional[str]] = {"wave_out": opath}
             out_w = self.spark.read.parquet(opath)
 
-            # frontier: COW replace of processed domains' rows
+            # frontier: per-bucket COW (Iceberg partition-overwrite).  Only
+            # buckets containing an active domain are rewritten; rows of
+            # inactive domains that share a dirty bucket are carried over;
+            # clean buckets keep their previous files via the manifest.
             new_frontier = (
                 out_w.filter(F.col("row_kind") == "frontier")
                 .select("domain", "url_hash", "url", "seq", "state")
                 .withColumn("bucket", self._bucket(F.col("domain")))
             )
+            dirty = sorted(
+                r["bucket"]
+                for r in active.select(self._bucket(F.col("domain")).alias("bucket"))
+                .distinct()
+                .collect()
+            )
             if frontier is not None:
-                keep = frontier.join(active.select("domain"), "domain", "left_anti")
-                new_frontier = keep.unionByName(new_frontier)
+                carry = frontier.filter(F.col("bucket").isin(dirty)).join(
+                    active.select("domain"), "domain", "left_anti"
+                )
+                new_frontier = carry.select(*new_frontier.columns).unionByName(
+                    new_frontier
+                )
             fpath = self.catalog.wave_path("frontier", wave)
-            new_frontier.repartition(self.n_buckets, "bucket").write.mode(
-                "overwrite"
-            ).parquet(fpath)
-            table_paths["frontier"] = fpath
+            new_frontier.repartition(self.n_buckets, "bucket").write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(fpath)
+            frontier_buckets = {}
+            for b in dirty:
+                bdir = os.path.join(fpath, f"bucket={b}")
+                frontier_buckets[b] = bdir if os.path.isdir(bdir) else None
 
             # domain_state: replace
             new_ds = out_w.filter(F.col("row_kind") == "domain_state").select(
@@ -476,7 +499,7 @@ class SparkCrawlEngine:
             new_ds.write.mode("overwrite").parquet(dpath)
             table_paths["domain_state"] = dpath
 
-            self.catalog.commit(wave, table_paths)
+            self.catalog.commit(wave, table_paths, frontier_buckets=frontier_buckets)
             waves_done += 1
 
             # early exit: if this wave left no active domains, skip the
