@@ -102,6 +102,26 @@ def _row(row_kind: str, domain: str, **kw) -> dict:
     return base
 
 
+def _schedule_offsets(durations: list[tuple[str, int]], permits: int) -> dict[str, int]:
+    """Greedy list scheduling of per-domain crawl durations onto `permits`
+    concurrent slots with a ≥1 s cadence between lock grants — the virtual-
+    clock model of the reference's per-top-domain semaphore
+    (LocalDomainCoordinator.java:22-122).  Returns start offsets (ms)."""
+    import heapq
+
+    slots = [0] * max(permits, 1)
+    heapq.heapify(slots)
+    offsets: dict[str, int] = {}
+    last_grant = -1000
+    for name, dur in durations:  # caller passes a deterministic order
+        free_at = heapq.heappop(slots)
+        start = max(free_at, last_grant + 1000)
+        offsets[name] = start
+        last_grant = start
+        heapq.heappush(slots, start + dur)
+    return offsets
+
+
 def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool = False):
     """Build the cogrouped wave UDF (runs once per domain per wave)."""
 
@@ -226,6 +246,60 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
     return wave_fn
 
 
+def _make_topdomain_wave_fn(
+    wave_budget: Optional[int], seed: int, validate_payload: bool = False
+):
+    """Top-domain-grouped wave: member domains of one top-domain run in one
+    group with the reference's per-top-domain token budget applied on the
+    virtual clock (wordpress.com 16, blogspot 8, substack 1, default 2 —
+    LocalDomainCoordinator.java:88-100).  Per-domain crawl order and the
+    seen-set are identical to domain-grouping; only the audit-trail
+    timestamps reflect the semaphore schedule."""
+    from ..canon.domain import top_domain_of
+    from ..operators.scheduling import DEFAULT_PERMITS, TOP_DOMAIN_PERMITS
+
+    single = _make_wave_fn(wave_budget, seed, validate_payload)
+
+    def wave_fn(state_pdf: pd.DataFrame, pages_pdf: pd.DataFrame) -> pd.DataFrame:
+        if state_pdf.empty:
+            return pd.DataFrame(columns=_OUT_COLS)
+        domains = sorted(
+            state_pdf.loc[state_pdf.row_kind == "domain_state", "domain"].unique()
+        )
+        if not domains:
+            return pd.DataFrame(columns=_OUT_COLS)
+
+        outs: dict[str, pd.DataFrame] = {}
+        durations: list[tuple[str, int]] = []
+        for d in domains:
+            sub_state = state_pdf[state_pdf.domain == d]
+            sub_pages = pages_pdf[pages_pdf.domain == d] if not pages_pdf.empty else pages_pdf
+            prev_clock = 0
+            sj = sub_state.loc[sub_state.row_kind == "domain_state", "state_json"].iloc[0]
+            if isinstance(sj, str) and sj:
+                prev_clock = int(json.loads(sj).get("clock_ms", 0))
+            pdf = single(sub_state, sub_pages)
+            outs[d] = pdf
+            new_clock = prev_clock
+            ds_out = pdf[pdf.row_kind == "domain_state"]
+            if not ds_out.empty:
+                new_clock = int(json.loads(ds_out["state_json"].iloc[0]).get("clock_ms", 0))
+            durations.append((d, max(new_clock - prev_clock, 0)))
+
+        permits = TOP_DOMAIN_PERMITS.get(top_domain_of(domains[0]), DEFAULT_PERMITS)
+        offsets = _schedule_offsets(durations, permits)
+        shifted = []
+        for d, pdf in outs.items():
+            off = offsets.get(d, 0)
+            if off and not pdf.empty:
+                mask = pdf.row_kind == "fetch_log"
+                pdf.loc[mask, "virtual_ms"] = pdf.loc[mask, "virtual_ms"] + off
+            shifted.append(pdf)
+        return pd.concat(shifted, ignore_index=True) if shifted else pd.DataFrame(columns=_OUT_COLS)
+
+    return wave_fn
+
+
 # ---------------------------------------------------------------------------
 # the engine
 # ---------------------------------------------------------------------------
@@ -308,6 +382,7 @@ class SparkCrawlEngine:
             .join(wd.alias("w"), on="domain", how="left")
             .select(
                 "domain",
+                F.coalesce(F.col("w.top_domain"), F.col("domain")).alias("top_domain"),
                 F.to_json(
                     F.struct(
                         F.col("w.proto").alias("proto"),
@@ -337,8 +412,14 @@ class SparkCrawlEngine:
         max_waves: int = 10_000,
         prev_crawl_df: Optional[DataFrame] = None,
         atags_df: Optional[DataFrame] = None,
+        group_key: str = "domain",
     ) -> int:
         """Advance all domains to terminal phase; returns wave count.
+
+        ``group_key="top_domain"`` co-locates all domains sharing a
+        top-domain in one group and applies the per-top-domain token
+        budget to the virtual clock (the reference's semaphore semantics);
+        per-domain order and seen-set are unchanged.
 
         AQE partition coalescing is disabled for the wave jobs: it merges
         shuffle partitions by *byte size*, and the wave groups are tiny in
@@ -353,7 +434,8 @@ class SparkCrawlEngine:
         conf.set(key, "false")
         try:
             return self._run_waves_inner(
-                web_pages_df, wave_budget, max_waves, prev_crawl_df, atags_df
+                web_pages_df, wave_budget, max_waves, prev_crawl_df, atags_df,
+                group_key,
             )
         finally:
             conf.set(key, old_coalesce)
@@ -365,9 +447,9 @@ class SparkCrawlEngine:
         max_waves: int,
         prev_crawl_df: Optional[DataFrame],
         atags_df: Optional[DataFrame] = None,
+        group_key: str = "domain",
     ) -> int:
         waves_done = 0
-        pages_grouped = web_pages_df.groupby("domain")
 
         while waves_done < max_waves:
             manifest = self.catalog.load()
@@ -440,12 +522,28 @@ class SparkCrawlEngine:
                 )
                 left = left.unionByName(at)
 
-            wave_fn = _make_wave_fn(wave_budget, self.seed, self.validate_inline)
-            out = (
-                left.groupby("domain")
-                .cogroup(pages_grouped)
-                .applyInPandas(wave_fn, WAVE_OUT_SCHEMA)
-            )
+            if group_key == "top_domain":
+                mapping = domain_state.select("domain", "top_domain")
+                left = left.join(F.broadcast(mapping), "domain")
+                pages_grouped = (
+                    web_pages_df.join(F.broadcast(mapping), "domain")
+                    .groupby("top_domain")
+                )
+                wave_fn = _make_topdomain_wave_fn(
+                    wave_budget, self.seed, self.validate_inline
+                )
+                out = (
+                    left.groupby("top_domain")
+                    .cogroup(pages_grouped)
+                    .applyInPandas(wave_fn, WAVE_OUT_SCHEMA)
+                )
+            else:
+                wave_fn = _make_wave_fn(wave_budget, self.seed, self.validate_inline)
+                out = (
+                    left.groupby("domain")
+                    .cogroup(web_pages_df.groupby("domain"))
+                    .applyInPandas(wave_fn, WAVE_OUT_SCHEMA)
+                )
 
             # ONE physical write per wave: the unified output log.  The
             # append tables (crawl_data/fetch_log/visits) are row_kind-
@@ -492,7 +590,7 @@ class SparkCrawlEngine:
                 "domain",
                 F.col("state").alias("phase"),
                 "state_json",
-            ).join(domain_state.select("domain", "info_json"), "domain", "left")
+            ).join(domain_state.select("domain", "info_json", "top_domain"), "domain", "left")
             terminal = domain_state.join(active.select("domain"), "domain", "left_anti")
             new_ds = new_ds.select(*terminal.columns).unionByName(terminal)
             dpath = self.catalog.wave_path("domain_state", wave)
