@@ -110,7 +110,7 @@ class SnapshotCatalog:
         return self.load(snapshot)["tables"].get(table, [])
 
     def rollback_to(self, n: int) -> None:
-        """Delete manifests (and orphaned wave dirs) newer than snapshot n."""
+        """Delete manifests (and orphaned data dirs) newer than snapshot n."""
         latest = self.latest_snapshot()
         if latest is None:
             return
@@ -118,12 +118,18 @@ class SnapshotCatalog:
         live: set[str] = set()
         for t, ps in keep["tables"].items():
             live.update(ps)
+        live.update(keep.get("frontier_buckets", {}).values())
         for m in range(n + 1, latest + 1):
             p = self._snap_path(m)
             if os.path.exists(p):
                 doomed = self.load(m)
-                for t, ps in doomed["tables"].items():
-                    for path in ps:
-                        if path not in live and os.path.exists(path):
-                            shutil.rmtree(path, ignore_errors=True)
+                doomed_paths = [
+                    path for ps in doomed["tables"].values() for path in ps
+                ] + list(doomed.get("frontier_buckets", {}).values())
+                for path in doomed_paths:
+                    if path not in live and os.path.exists(path):
+                        # skip bucket dirs whose parent wave is still live
+                        if any(l.startswith(path) or path.startswith(l) for l in live):
+                            continue
+                        shutil.rmtree(path, ignore_errors=True)
                 os.remove(p)
