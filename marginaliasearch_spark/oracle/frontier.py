@@ -10,11 +10,21 @@ known check), depth growth, and the queue's addFirst priority inserts.
 from __future__ import annotations
 
 from collections import deque
+from functools import lru_cache
 from typing import Callable, Optional
 
 from ..canon.domain import EdgeDomain
 from ..canon.murmur import hash_url_parts
 from ..canon.url import EdgeUrl, parse_url
+
+
+@lru_cache(maxsize=1 << 16)
+def _parse_canonical(s: str) -> EdgeUrl:
+    """Queue entries are canonical strings; popping re-parses them (the
+    reference does `new EdgeUrl(queue.removeFirst())`).  The parse is pure,
+    so caching it preserves bit-exact semantics while removing the
+    double-parse from the hot loop."""
+    return EdgeUrl.from_string(s)
 from ..operators.blocklist import is_mailing_list_link, is_url_blocked
 from ..operators.linkfilter import link_filter_allows
 
@@ -72,12 +82,12 @@ class DomainFrontier:
             self.queue.appendleft(str(url))
 
     def take_next(self) -> EdgeUrl:
-        return EdgeUrl.from_string(self.queue.popleft())
+        return _parse_canonical(self.queue.popleft())
 
     def peek(self) -> Optional[EdgeUrl]:
         if not self.queue:
             return None
-        return EdgeUrl.from_string(self.queue[0])
+        return _parse_canonical(self.queue[0])
 
     def is_empty(self) -> bool:
         return not self.queue

@@ -618,6 +618,51 @@ class SparkCrawlEngine:
         v = self._read("visits")
         return v.orderBy("domain", "wave", "idx") if v is not None else None
 
+    def lineage(self) -> list[dict]:
+        """Per-partition lineage: every committed snapshot with its table
+        paths and per-bucket frontier files (north rule: 'resumable from
+        Iceberg snapshot checkpoints with per-partition lineage')."""
+        out = []
+        latest = self.catalog.latest_snapshot()
+        if latest is None:
+            return out
+        for n in range(latest + 1):
+            try:
+                m = self.catalog.load(n)
+            except FileNotFoundError:
+                continue
+            out.append(
+                {
+                    "snapshot": n,
+                    "wave": m["wave"],
+                    "tables": m["tables"],
+                    "frontier_buckets": m.get("frontier_buckets", {}),
+                }
+            )
+        return out
+
+    def dedup_metrics(self) -> DataFrame:
+        """Fetch/dedup metrics per domain: URLs seen (KNOWN+VISITED),
+        visited, still queued, robots refusals, fetch attempts."""
+        fr = self._read("frontier")
+        agg = fr.groupBy("domain").agg(
+            F.sum(F.when(F.col("state") == "VISITED", 1).otherwise(0)).alias("n_visited"),
+            F.sum(F.when(F.col("state") == "KNOWN", 1).otherwise(0)).alias("n_known_unvisited"),
+            F.sum(F.when(F.col("state") == "QUEUED", 1).otherwise(0)).alias("n_queued"),
+        )
+        log = self._read("fetch_log")
+        if log is not None:
+            acts = log.groupBy("domain").agg(
+                F.sum(F.when(F.col("action") == "REFUSED_ROBOTS", 1).otherwise(0)).alias(
+                    "n_robots_refused"
+                ),
+                F.sum(F.when(F.col("action").startswith("FETCH"), 1).otherwise(0)).alias(
+                    "n_fetch_attempts"
+                ),
+            )
+            agg = agg.join(acts, "domain", "left")
+        return agg
+
     def crawl_meta(self) -> DataFrame:
         """Per-domain crawl metrics (§2.5/§2.11 analogue of DomainStateDb
         CrawlMeta), computed relationally from the state + output tables."""

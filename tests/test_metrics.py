@@ -1,0 +1,42 @@
+"""Lineage + fetch/dedup metrics accessors (north rule: per-partition
+lineage + fetch/dedup metrics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+from marginaliasearch_spark.sources.synthetic_web import (
+    generate_web,
+    spark_schemas,
+    web_to_frames,
+)
+
+
+def test_lineage_and_dedup_metrics(spark, tmp_path):
+    web, _ = generate_web(seed=42, n_domains=6, mean_pages=8)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+
+    engine = SparkCrawlEngine(spark, str(tmp_path / "m"), seed=42, n_buckets=4)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=5)
+
+    lin = engine.lineage()
+    assert len(lin) >= 2
+    assert lin[0]["snapshot"] == 0
+    assert all("tables" in x for x in lin)
+    # later snapshots accumulate wave_out paths
+    assert len(lin[-1]["tables"]["wave_out"]) >= len(lin[1]["tables"]["wave_out"])
+    # frontier buckets tracked per partition
+    assert isinstance(lin[-1]["frontier_buckets"], dict)
+
+    dm = {r["domain"]: r for r in engine.dedup_metrics().collect()}
+    assert dm
+    for d, r in dm.items():
+        assert r["n_visited"] >= 1  # at least the root
+        assert r["n_fetch_attempts"] >= r["n_visited"] - 1
+    # refusals recorded where robots disallow
+    assert any((r["n_robots_refused"] or 0) >= 0 for r in dm.values())
