@@ -123,9 +123,32 @@ def _schedule_offsets(durations: list[tuple[str, int]], permits: int) -> dict[st
 
 
 def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool = False):
-    """Build the cogrouped wave UDF (runs once per domain per wave)."""
+    """Build the cogrouped wave UDF (runs once per domain per wave).
+
+    Fault isolation: an exception while crawling one domain (bad state,
+    malformed robots, codec error) terminates that domain with
+    phase='error' and the exception recorded in its state_json — it never
+    fails the whole wave task (the reference likewise catches per-domain
+    exceptions in CrawlTask — CrawlerMain.java:700-716)."""
 
     def wave_fn(state_pdf: pd.DataFrame, pages_pdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            return _wave_fn_inner(state_pdf, pages_pdf)
+        except Exception as ex:  # noqa: BLE001 — per-domain fault barrier
+            ds_rows = state_pdf[state_pdf.row_kind == "domain_state"]
+            domain = ds_rows["domain"].iloc[0] if not ds_rows.empty else "?"
+            err = json.dumps({"phase": "error", "exception": repr(ex)[:500]})
+            pdf = pd.DataFrame(
+                [_row("domain_state", domain, state="error", state_json=err)],
+                columns=_OUT_COLS,
+                dtype=object,
+            )
+            for col in ("url_hash", "seq", "virtual_ms", "idx"):
+                pdf[col] = pdf[col].astype("Int64")
+            pdf["http_status"] = pdf["http_status"].astype("Int32")
+            return pdf
+
+    def _wave_fn_inner(state_pdf: pd.DataFrame, pages_pdf: pd.DataFrame) -> pd.DataFrame:
         if state_pdf.empty:
             return pd.DataFrame(columns=_OUT_COLS)
 

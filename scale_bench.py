@@ -21,7 +21,7 @@ shuffle machinery).
 Prints one JSON line and appends a markdown section to BENCH.md.
 
 Env knobs: SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_CRAWL_DOMAINS
-(default 2048), SPARK_GRAFT_CRAWL_PAGES (default 50).
+(default 4096), SPARK_GRAFT_CRAWL_PAGES (default 50).
 """
 
 from __future__ import annotations
