@@ -708,6 +708,49 @@ def oracle_sql() -> dict[str, str]:
                         * 1000 / greatest(length(text), 1)) AS BIGINT) AS upper_permille
             FROM documents
         """,
+        "lang_id": """
+            WITH words AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split_regex(lower(text),
+                         '[^a-zA-Zà-ÿÀ-ß]+')) AS w
+              FROM documents
+            ), scores AS (
+              SELECT doc_id, lang,
+                len(list_intersect(w, ['the','and','of','to','in','is','that','with'])) AS s_en,
+                len(list_intersect(w, ['der','die','und','das','ist','nicht','mit','ein'])) AS s_de,
+                len(list_intersect(w, ['le','la','les','et','est','une','dans','pour'])) AS s_fr,
+                len(list_intersect(w, ['el','la','los','que','es','una','por','con'])) AS s_es
+              FROM words
+            )
+            SELECT doc_id, lang,
+              CASE WHEN greatest(s_en,s_de,s_fr,s_es) <= 0 THEN 'und'
+                   WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM scores
+        """,
+        "ngram_jaccard_pairs": """
+            WITH words AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+              FROM words, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+            ), sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id GROUP BY 1,2
+            )
+            SELECT id_a, id_b,
+              CAST(floor(n_common * 1000.0 / (sa.n + sb.n - n_common)) AS BIGINT)
+                  AS jaccard_permille
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+        """,
         "ann_cosine_topk": """
             SELECT vec_id FROM (
                 SELECT e.vec_id,
