@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the crawl job.
+
+Usage (north-rule launch shape):
+
+    zip -r /tmp/msx.zip marginaliasearch_spark
+    spark-submit --master <cluster> --py-files /tmp/msx.zip \
+        submit_crawl.py --out /data/crawl_run_1 \
+        [--domains 256 --pages 40 --wave-budget 100 --group-key top_domain]
+
+In the sandbox the master defaults to local[*]; on a cluster pass the real
+master + executor confs.  The job generates (or reads) the synthetic web,
+runs the wave engine to completion and prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True, help="crawl table/snapshot root")
+    ap.add_argument("--domains", type=int, default=64)
+    ap.add_argument("--pages", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--wave-budget", type=int, default=None)
+    ap.add_argument("--group-key", choices=["domain", "top_domain"], default="domain")
+    ap.add_argument("--validate-inline", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("marginaliasearch-crawl").getOrCreate()
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.synthetic_web import (
+        generate_web,
+        spark_schemas,
+        web_to_frames,
+    )
+
+    web, _ = generate_web(seed=args.seed, n_domains=args.domains, mean_pages=args.pages)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+
+    engine = SparkCrawlEngine(
+        spark, args.out, seed=args.seed, validate_inline=args.validate_inline
+    )
+    t0 = time.perf_counter()
+    engine.init_run(domains, specs)
+    waves = engine.run_waves(
+        pages, wave_budget=args.wave_budget, group_key=args.group_key
+    )
+    visited = engine.read_table("visits").count()
+    seen = (
+        engine.read_table("frontier")
+        .filter(F.col("state").isin("VISITED", "KNOWN"))
+        .count()
+    )
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "waves": waves,
+                "urls_visited": visited,
+                "urls_seen": seen,
+                "wall_sec": round(wall, 2),
+                "urls_per_sec": round(visited / wall, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
