@@ -1,0 +1,158 @@
+"""Link-graph operators over the crawl's edges table.
+
+The reference keeps the link graph only inside the frontier (SURVEY §1.1);
+we materialize it as (src, dst) rows and provide the two classic iterative
+operators a crawl pipeline builds on it:
+
+- ``pagerank`` — damped PageRank via iterative join+agg (the NDP priority
+  analogue: the new-domain queue orders candidates by a priority score —
+  DomainTestingQueue.java:105-112; link-derived rank is the natural
+  source of that score);
+- ``connected_components`` — small-label propagation, used to collapse
+  near-duplicate *pairs* (minhash/simhash/phash output) into dedup groups.
+
+Scale notes: each iteration is one shuffle on the join key; intermediate
+lineage is cut every few iterations (localCheckpoint) so plans stay flat;
+convergence is detected with an aggregate, not a collect of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over an edge list → (node, rank).
+
+    Dangling nodes (no out-links) redistribute uniformly, folded into the
+    teleport term the standard way: rank = (1-d + d·dangling_mass)/N +
+    d·Σ in(rank/out_degree) — with ranks kept sum≈N normalized.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().cache()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        linked_mass = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        dangling = float(n) - float(linked_mass)
+        base = (1.0 - damping) + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()  # cut lineage: plans stay flat
+    return ranks
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (id, component)
+    where component = min id in the component (small-label propagation).
+
+    Converges in O(diameter) shuffles; near-dup clusters are shallow, so
+    this terminates in a handful of iterations; an aggregate (not a
+    collect) checks the fixpoint.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+
+    for i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
+def dedup_groups_from_pairs(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Collapse near-dup pairs into dedup groups: (component=keeper id,
+    member_ids, group_size).  The keeper is the minimum id (first-wins,
+    matching exact_dedup's min-id policy)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.groupBy("component").agg(
+        F.sort_array(F.collect_list("id")).alias("member_ids"),
+        F.count("*").alias("group_size"),
+    )
+
+
+def domain_pagerank_priority(edges: DataFrame) -> DataFrame:
+    """Domain-level priority from the URL link graph: collapse edges to
+    domain→domain (dropping self-links), PageRank, return (domain,
+    priority) — the NDP priority-queue input."""
+    dom = F.regexp_extract(F.col("src"), r"^[a-z]+://([^/]+)", 1)
+    dom2 = F.regexp_extract(F.col("dst"), r"^[a-z]+://([^/]+)", 1)
+    de = (
+        edges.select(dom.alias("src"), dom2.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(de, iterations=8)
+    return pr.select(F.col("node").alias("domain"), F.col("rank").alias("priority"))

@@ -122,6 +122,7 @@ class DomainCrawlSession:
         self.new_crawl_data: list[dict] = []
         self.new_fetch_log: list[dict] = []
         self.new_visits: list[str] = []
+        self.new_edges: list[tuple[str, str]] = []  # (src_url, dst_url) link graph
 
     # ------------------------------------------------------------------
     # wave 0: probe + robots + sniff + recrawl + sitemaps
@@ -293,9 +294,14 @@ class DomainCrawlSession:
 
     def _enqueue_links(self, base_url: EdgeUrl, page: Page) -> None:
         base = get_base_link([page.base_href] if page.base_href else [], base_url)
+        src = str(base_url)
         for href in page.links:
             url = parse_link_from_anchor(base, href)
             if url is not None:
+                # materialize the link graph (SURVEY §1.1: the reference
+                # keeps it only inside the frontier; we emit edges —
+                # including cross-domain ones, which the frontier drops)
+                self.new_edges.append((src, str(url)))
                 self.frontier.add_to_queue(url)
 
     def _sniff_root(self, probed: EdgeUrl) -> None:
@@ -463,6 +469,11 @@ class DomainCrawlSession:
         self.new_crawl_data = []
         self.new_fetch_log = []
         self.new_visits = []
+        return out
+
+    def drain_edges(self) -> list[tuple[str, str]]:
+        out = self.new_edges
+        self.new_edges = []
         return out
 
     def frontier_rows(self) -> list[dict]:

@@ -88,6 +88,7 @@ WAVE_OUT_SCHEMA = T.StructType(
         T.StructField("action", T.StringType()),
         T.StructField("virtual_ms", T.LongType()),
         T.StructField("idx", T.LongType()),
+        T.StructField("url2", T.StringType()),  # edge rows: url=src, url2=dst
     ]
 )
 
@@ -201,7 +202,10 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
             phase = sess.run(max_fetches=wave_budget)
 
         crawl_data, fetch_log, visits = sess.drain()
+        edges = sess.drain_edges()
         out: list[dict] = []
+        for i, (src, dst) in enumerate(edges):
+            out.append(_row("edge", domain, url=src, url2=dst, idx=i))
         for i, rec in enumerate(fetch_log):
             out.append(
                 _row(
@@ -360,6 +364,11 @@ class SparkCrawlEngine:
             )
         if table == "visits":
             return self._wave_view("visits", ["domain", "url", "idx", "wave"], kind="visit")
+        if table == "edges":
+            v = self._wave_view("edges", ["domain", "url", "url2", "idx", "wave"], kind="edge")
+            if v is None:
+                return None
+            return v.withColumnRenamed("url", "src").withColumnRenamed("url2", "dst")
         if table == "frontier":
             bucket_paths = self.catalog.frontier_bucket_paths()
             if not bucket_paths:

@@ -1,0 +1,116 @@
+"""Link-graph operators: PageRank vs a numpy power-iteration oracle,
+connected components vs a union-find oracle, edges emitted by the crawl."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from marginaliasearch_spark.operators.graph import (
+    connected_components,
+    dedup_groups_from_pairs,
+    domain_pagerank_priority,
+    pagerank,
+)
+
+
+def _numpy_pagerank(edges, n_nodes, iterations=10, d=0.85):
+    """Reference power iteration matching the operator's update rule."""
+    out_deg = np.zeros(n_nodes)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.ones(n_nodes)
+    for _ in range(iterations):
+        contrib = np.zeros(n_nodes)
+        for s, t in edges:
+            contrib[t] += r[s] / out_deg[s]
+        linked_mass = r[out_deg > 0].sum()
+        dangling = n_nodes - linked_mass
+        r = (1 - d) + d * dangling / n_nodes + d * contrib
+    return r
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    want = _numpy_pagerank(edges, 4, iterations=10)
+    for node in range(4):
+        assert got[node] == pytest.approx(want[node], rel=1e-9), node
+    # the hub (node 2) outranks everything
+    assert got[2] == max(got.values())
+
+
+def test_connected_components_vs_union_find(spark):
+    rng = np.random.default_rng(5)
+    ids = np.arange(200)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 200, size=(150, 2)) if a != b]
+
+    # union-find oracle
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component = min member id
+    members: dict = {}
+    touched = {x for p in pairs for x in p}
+    for x in touched:
+        members.setdefault(find(x), set()).add(x)
+    want = {}
+    for comp in members.values():
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_dedup_groups(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    groups = {r["component"]: (list(r["member_ids"]), r["group_size"])
+              for r in dedup_groups_from_pairs(pairs).collect()}
+    assert groups[1] == ([1, 2, 3], 3)
+    assert groups[10] == ([10, 11], 2)
+
+
+def test_crawl_emits_edges_and_domain_priority(spark, tmp_path):
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.synthetic_web import (
+        generate_web,
+        spark_schemas,
+        web_to_frames,
+    )
+
+    web, _ = generate_web(seed=42, n_domains=8, mean_pages=10)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+    engine = SparkCrawlEngine(spark, str(tmp_path / "g"), seed=42, n_buckets=4)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+
+    edges = engine.read_table("edges")
+    assert edges is not None
+    n_edges = edges.count()
+    assert n_edges > 50
+    # cross-domain edges exist in the graph even though the frontier drops them
+    dom = F.regexp_extract(F.col("src"), r"^[a-z]+://([^/]+)", 1)
+    dom2 = F.regexp_extract(F.col("dst"), r"^[a-z]+://([^/]+)", 1)
+    assert edges.filter(dom != dom2).count() > 0
+
+    pr = domain_pagerank_priority(edges).collect()
+    assert len(pr) > 1
+    assert all(r["priority"] > 0 for r in pr)
