@@ -385,6 +385,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_near_dup_groups(spark, sf_dir):
+    """Near-dup groups: connected components over the exact 3-gram-Jaccard
+    pairs (iterative label propagation; the oracle closes the transitive
+    closure with a recursive CTE)."""
+    from marginaliasearch_spark.operators.dedup import ngram_jaccard_pairs
+    from marginaliasearch_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return connected_components(pairs).select("id", "component")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector (IDs only —
     float rank values stay out of the hash compare)."""
@@ -513,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ratios": q_quality_ratios,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "near_dup_groups": q_near_dup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -750,6 +762,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+        """,
+        "near_dup_groups": """
+            WITH RECURSIVE words AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+              FROM words, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+            ), sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id GROUP BY 1,2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+            ), und AS (
+              SELECT id_a a, id_b b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            )
+            SELECT a AS id, least(a, min(b)) AS component
+            FROM reach GROUP BY a
         """,
         "ann_cosine_topk": """
             SELECT vec_id FROM (
