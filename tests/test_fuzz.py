@@ -1,0 +1,85 @@
+"""Property/fuzz hardening.
+
+1. Canonical-form round-trip stability: the frontier queue stores
+   ``str(EdgeUrl)`` and re-parses on pop (exactly like the reference's
+   ``new EdgeUrl(queue.removeFirst())``), so ``parse(str(u))`` must be a
+   fixpoint for every parseable URL — identity (domain, path, param) AND
+   string form.
+2. ``parse_url`` never raises on arbitrary href-ish garbage.
+3. Oracle ↔ session-wave equivalence across random web seeds (the e2e
+   property, beyond the fixed seed the main tests use).
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from marginaliasearch_spark.canon import EdgeUrl, parse_url
+from marginaliasearch_spark.oracle import OracleCrawler
+from marginaliasearch_spark.oracle.crawler import info_from_web
+from marginaliasearch_spark.oracle.session import DomainCrawlSession
+from marginaliasearch_spark.sources.synthetic_web import generate_web
+
+url_chars = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00", max_codepoint=0x2FF
+    ),
+    max_size=40,
+)
+hosts = st.from_regex(r"[a-z0-9]{1,8}(\.[a-z0-9]{1,8}){0,3}", fullmatch=True)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "ftp"]),
+    host=hosts,
+    path=url_chars,
+    query=url_chars,
+)
+def test_canonical_roundtrip_fixpoint(scheme, host, path, query):
+    raw = f"{scheme}://{host}/{path}"
+    if query:
+        raw += f"?{query}"
+    u = parse_url(raw)
+    if u is None:
+        return
+    s = str(u)
+    u2 = parse_url(s)
+    assert u2 is not None, f"canonical form must re-parse: {s!r}"
+    assert (u2.domain.address, u2.path, u2.param) == (
+        u.domain.address,
+        u.path,
+        u.param,
+    ), raw
+    assert str(u2) == s, raw  # string fixpoint: the queue round-trip is stable
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=80))
+def test_parse_url_never_raises(garbage):
+    parse_url(garbage)  # None or EdgeUrl; never an exception
+
+
+@pytest.mark.parametrize("seed", [7, 123, 20260816])
+def test_oracle_session_wave_equivalence_random_seeds(seed):
+    """Straight oracle run == budgeted serialize/rehydrate session run for
+    arbitrary web seeds (the distributed engine shares this session, so
+    this is the cheap proxy for the full e2e property)."""
+    web, _ = generate_web(seed=seed, n_domains=8, mean_pages=12)
+    oracle = OracleCrawler(web, seed=seed)
+    for d in sorted(web.domains):
+        golden = oracle.crawl_domain(d)
+        info = info_from_web(web, d)
+        sess = DomainCrawlSession(info, web, seed=seed)
+        phase = sess.setup()
+        visits = []
+        cd, fl, vs = sess.drain()
+        visits += vs
+        while phase == "active":
+            sj, rows = sess.state_json(), sess.frontier_rows()
+            sess = DomainCrawlSession.rehydrate(info, web, sj, rows, seed=seed)
+            phase = sess.run(max_fetches=3)
+            cd, fl, vs = sess.drain()
+            visits += vs
+        assert visits == golden.visited_order, (seed, d)
+        assert dict(sess.frontier.visited) == golden.seen_hashes, (seed, d)
