@@ -262,6 +262,14 @@ class DomainCrawlSession:
         return page
 
     def _record(self, page: Page, url: EdgeUrl) -> None:
+        # output-stage gate: only whitelisted content types are stored
+        # (robots.txt / X-Robots-Tag handled by should_store_response;
+        # ref: SlopCrawlDataRecord.java:165-259).  The page still counts
+        # as visited — the gate is at-rest only.
+        from ..functions.xrobots import should_store_response
+
+        if not should_store_response(url.path, page.content_type, [], USER_AGENT):
+            return
         rec = {
             "domain": self.info.domain,
             "url": str(url),

@@ -89,6 +89,8 @@ WAVE_OUT_SCHEMA = T.StructType(
         T.StructField("virtual_ms", T.LongType()),
         T.StructField("idx", T.LongType()),
         T.StructField("url2", T.StringType()),  # edge rows: url=src, url2=dst
+        T.StructField("phash", T.LongType()),    # inline payload validation
+        T.StructField("psnr_ok", T.IntegerType()),
     ]
 )
 
@@ -232,6 +234,8 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
                     image_id=rec["image_id"],
                     etag=rec["etag"],
                     last_modified=rec["last_modified"],
+                    phash=rec.get("phash"),
+                    psnr_ok=(None if "psnr_ok" not in rec else int(rec["psnr_ok"])),
                 )
             )
         if phase == "active":
@@ -265,9 +269,10 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
         # dtype=object stops pandas decaying int+None columns to float64,
         # which silently corrupts 64-bit url hashes; then go to nullable ints
         pdf = pd.DataFrame(out, columns=_OUT_COLS, dtype=object)
-        for col in ("url_hash", "seq", "virtual_ms", "idx"):
+        for col in ("url_hash", "seq", "virtual_ms", "idx", "phash"):
             pdf[col] = pdf[col].astype("Int64")
-        pdf["http_status"] = pdf["http_status"].astype("Int32")
+        for col in ("http_status", "psnr_ok"):
+            pdf[col] = pdf[col].astype("Int32")
         return pdf
 
     return wave_fn
@@ -356,7 +361,8 @@ class SparkCrawlEngine:
         if table == "crawl_data":
             return self._wave_view(
                 "crawl_data",
-                ["domain", "url", "http_status", "content_type", "image_id", "etag", "last_modified", "wave", "idx"],
+                ["domain", "url", "http_status", "content_type", "image_id",
+                 "etag", "last_modified", "phash", "psnr_ok", "wave", "idx"],
             )
         if table == "fetch_log":
             return self._wave_view(
@@ -719,3 +725,15 @@ class SparkCrawlEngine:
             )
             meta = meta.join(good, "domain", "left")
         return meta
+
+    def crawl_meta_with_budget(self) -> DataFrame:
+        """crawl_meta extended with the per-top-domain politeness-budget
+        wall-clock model (permits + makespan; scheduling.py §2.9)."""
+        from ..operators.scheduling import top_domain_makespan
+
+        ds = self._read("domain_state").select("domain", "top_domain")
+        meta = self.crawl_meta().join(ds, "domain", "left")
+        budget = top_domain_makespan(
+            meta.select("domain", "top_domain", F.coalesce("crawl_time_ms", F.lit(0)).alias("crawl_time_ms"))
+        )
+        return meta.join(budget, "top_domain", "left")
