@@ -62,6 +62,53 @@ def ingest_rollup(candidates: DataFrame, window: str = "5 minutes") -> DataFrame
     )
 
 
+def polite_schedule(candidates: DataFrame, delay_ms: int = 1000) -> DataFrame:
+    """Custom stateful streaming operator: per-domain politeness scheduling
+    via ``applyInPandasWithState``.
+
+    State per domain = the virtual next-allowed fetch time; each micro-batch
+    assigns every candidate URL a ``scheduled_ms`` ≥ state, spaced
+    ``delay_ms`` apart (the CrawlDelayTimer cadence), and persists the new
+    watermark into the group state.  This is the streaming counterpart of
+    the batch engine's per-domain serialized fetch loop.
+
+    Works on a streaming DataFrame (update mode); on a static frame use the
+    batch engine instead.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "domain string, url_canon string, url_hash long, scheduled_ms long"
+    state_schema = "next_allowed_ms long"
+
+    def schedule(key, pdfs, state):
+        (domain,) = key
+        next_allowed = state.get[0] if state.exists else 0
+        rows = {"domain": [], "url_canon": [], "url_hash": [], "scheduled_ms": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "url_canon"])
+            for _, r in pdf.iterrows():
+                rows["domain"].append(domain)
+                rows["url_canon"].append(r["url_canon"])
+                rows["url_hash"].append(int(r["url_hash"]))
+                rows["scheduled_ms"].append(int(next_allowed))
+                next_allowed += delay_ms
+        state.update((int(next_allowed),))
+        yield pd.DataFrame(rows)
+
+    return (
+        candidates.select("domain", "ts", "url_canon", "url_hash")
+        .groupBy("domain")
+        .applyInPandasWithState(
+            schedule,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_live_sink(candidates: DataFrame, out_path: str, checkpoint: str):
     """Append each micro-batch atomically via foreachBatch."""
 

@@ -90,3 +90,40 @@ def test_ingest_rollup_watermarked(spark, feed_rows, seen_df, tmp_path):
     assert got[("2026-01-01 10:00:00", "b.com")] == 2  # both new-2 rows
     # the 10:50 window is NOT sealed → absent in append mode
     assert ("2026-01-01 10:50:00", "b.com") not in got
+
+
+def test_polite_schedule_stateful(spark, feed_rows, seen_df, tmp_path):
+    """applyInPandasWithState token bucket: per-domain cadence within a
+    batch AND state carried across micro-batches."""
+    from marginaliasearch_spark.streaming.livecrawl import polite_schedule
+
+    src = str(tmp_path / "src3")
+    # two files = two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(feed_rows[:3], FEED_ITEM_SCHEMA).write.parquet(src)
+    spark.createDataFrame(feed_rows[3:], FEED_ITEM_SCHEMA).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(FEED_ITEM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sched = polite_schedule(live_candidates(stream, seen_df), delay_ms=1000)
+    q = (
+        sched.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sched")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from sched").collect()
+    by_domain: dict = {}
+    for r in rows:
+        by_domain.setdefault(r["domain"], []).append(r["scheduled_ms"])
+    assert by_domain, "scheduler emitted nothing"
+    for d, times in by_domain.items():
+        ts = sorted(times)
+        # cadence ≥ 1000 ms between consecutive fetches of one domain,
+        # including across micro-batches (state persisted)
+        assert all(b - a >= 1000 for a, b in zip(ts, ts[1:])), (d, ts)
+        assert len(set(ts)) == len(ts)
