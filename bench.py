@@ -6,7 +6,7 @@ bench and prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_CRAWL_DOMAINS (default 48),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_CRAWL_DOMAINS (default 512),
 SPARK_GRAFT_CRAWL_PAGES (default 40).
 """
 
@@ -97,7 +97,7 @@ def run_crawl_bench(spark, n_domains: int, mean_pages: int, seed: int = 42):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_domains = int(os.environ.get("SPARK_GRAFT_CRAWL_DOMAINS", "256"))
+    n_domains = int(os.environ.get("SPARK_GRAFT_CRAWL_DOMAINS", "512"))
     mean_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "40"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
