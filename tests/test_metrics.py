@@ -40,3 +40,44 @@ def test_lineage_and_dedup_metrics(spark, tmp_path):
         assert r["n_fetch_attempts"] >= r["n_visited"] - 1
     # refusals recorded where robots disallow
     assert any((r["n_robots_refused"] or 0) >= 0 for r in dm.values())
+
+
+def test_crawl_meta_with_budget(spark, tmp_path):
+    web, _ = generate_web(seed=42, n_domains=10, mean_pages=8)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+    engine = SparkCrawlEngine(spark, str(tmp_path / "b"), seed=42, n_buckets=4)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+
+    rows = engine.crawl_meta_with_budget().collect()
+    assert rows
+    for r in rows:
+        assert r["permits"] >= 1
+        if r["crawl_time_ms"] and r["crawl_time_ms"] > 0:
+            # budget wall time can never undercut the longest member crawl
+            assert r["budget_wall_ms"] >= 0
+
+
+def test_output_gate_drops_unaccepted_content(spark, tmp_path):
+    """crawl_data only stores whitelisted content types; robots.txt never."""
+    web, _ = generate_web(seed=42, n_domains=10, mean_pages=8)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+    engine = SparkCrawlEngine(spark, str(tmp_path / "g"), seed=42, n_buckets=4)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+
+    from marginaliasearch_spark.functions.xrobots import is_content_type_accepted
+
+    cd = engine.read_table("crawl_data").collect()
+    assert cd
+    for r in cd:
+        assert is_content_type_accepted(r["content_type"]), r
+        assert not r["url"].endswith("/robots.txt")
