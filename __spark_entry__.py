@@ -127,14 +127,13 @@ def q_priority_topk(spark, sf_dir):
     """NDP priority-queue batch: ORDER BY priority DESC LIMIT 2000
     (DomainTestingQueue:105-112)."""
     o = _t(spark, sf_dir, "orders")
+    # Fixed-point cents (BIGINT) on both sides — exact cross-engine compare
+    # without decimal-vs-float materialization drift.
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     return (
         o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
         .limit(2000)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("priority"),
-        )
+        .select("o_orderkey", "o_custkey", cents.alias("priority"))
     )
 
 
@@ -257,17 +256,25 @@ def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 — the OLAP bench anchor (decimal-typed for exact compare)."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
+    # Aggregates emitted as fixed-point BIGINT (cents / ten-thousandths) so the
+    # DuckDB oracle hashes identically (decimal repr differs across engines).
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
-                    "decimal(28,4)"
+            (F.sum(dec("l_quantity")) * 100).cast("long").alias("sum_qty"),
+            (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("sum_base_price"),
+            (
+                F.sum(
+                    (
+                        dec("l_extendedprice")
+                        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                    ).cast("decimal(28,4)")
                 )
-            ).alias("sum_disc_price"),
+                * 10000
+            )
+            .cast("long")
+            .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -280,12 +287,20 @@ def q_revenue_topn(spark, sf_dir):
     rev = (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum(
-                (
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-                ).cast("decimal(28,4)")
-            ).alias("revenue")
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (
+                            F.lit(1).cast("decimal(18,2)")
+                            - F.col("l_discount").cast("decimal(18,2)")
+                        )
+                    ).cast("decimal(28,4)")
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("revenue")
         )
     )
     return (
@@ -303,7 +318,9 @@ def q_events_hourly_rollup(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("long")
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
     )
@@ -571,7 +588,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "priority_topk": """
             SELECT o_orderkey, o_custkey,
-                   CAST(o_totalprice AS DECIMAL(18,2)) AS priority
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS priority
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 2000
@@ -641,11 +658,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                       AS DECIMAL(28,4))) AS sum_disc_price,
+                       AS DECIMAL(28,4))) * 10000 AS BIGINT) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -655,9 +672,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, revenue
             FROM orders JOIN (
                 SELECT l_orderkey,
-                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                           AS DECIMAL(28,4))) AS revenue
+                           AS DECIMAL(28,4))) * 10000 AS BIGINT) AS revenue
                 FROM lineitem GROUP BY l_orderkey) r
             ON o_orderkey = r.l_orderkey
             ORDER BY revenue DESC, o_orderkey
@@ -667,7 +684,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
                    event_type,
                    count(*) AS n,
-                   sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "sessionization": """
@@ -683,7 +700,7 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
                 FROM flagged
             )
-            SELECT user_id, session_idx,
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                    count(*) AS n_events,
                    min(event_id) AS first_event_id,
                    max(event_id) AS last_event_id
@@ -691,11 +708,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_type_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
-                   sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+                   CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id
         """,
         "exact_dedup": """
