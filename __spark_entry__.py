@@ -492,19 +492,23 @@ def q_payload_validate(spark, sf_dir):
 
 
 def q_crawl_visited_set(spark, sf_dir):
-    """Flagship crawl at tiny scale: the final visited set per domain
-    (rows-only; the exact-order/seen-set gate is tests/test_spark_crawl.py)."""
+    """Flagship crawl gate with an INDEPENDENT oracle: the full wave engine
+    crawls the ground-truth gate web (sources/gate_web.py) and the DuckDB
+    side re-derives the visited set as a recursive reachability closure
+    over facts the generator exported directly — no engine code on the
+    oracle path.  Exercises robots (4 variants incl. UA override),
+    blocklist/binary-suffix/scheme href rejection, same-domain confinement,
+    first-wins dedup, seed injection + forced root, 301 re-entry,
+    cross-domain redirect drops, mediawiki link filter, and excluded
+    domains (probe error/redirect, robots full block)."""
     import tempfile
 
     from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
-    from marginaliasearch_spark.sources.synthetic_web import (
-        generate_web,
-        spark_schemas,
-        web_to_frames,
-    )
+    from marginaliasearch_spark.sources.gate_web import ensure_export, gate_web_frames
+    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
 
-    web, _ = generate_web(seed=42, n_domains=6, mean_pages=8)
-    pages_pdf, domains_pdf = web_to_frames(web)
+    ensure_export()
+    pages_pdf, domains_pdf = gate_web_frames()
     ps, dms = spark_schemas()
     pages = spark.createDataFrame(pages_pdf, schema=ps)
     domains = spark.createDataFrame(domains_pdf, schema=dms)
@@ -514,7 +518,7 @@ def q_crawl_visited_set(spark, sf_dir):
     engine.init_run(domains, specs)
     engine.run_waves(pages, wave_budget=None)
     v = engine.read_table("visits")
-    return v.groupBy("domain").agg(F.count("*").alias("n_visited"))
+    return v.select("domain", "url").distinct()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -553,7 +557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from marginaliasearch_spark.sources.gate_web import ensure_export
+    from marginaliasearch_spark.sources.gate_web import oracle_sql as gate_oracle_sql
+
+    gate_dir = ensure_export()
     return {
+        "crawl_visited_set": gate_oracle_sql(gate_dir),
         "worklog_compaction": """
             SELECT user_id,
                    event_id AS last_event_id,

@@ -1,0 +1,297 @@
+"""Gate web — an independently-checkable crawl fixture.
+
+The flagship `crawl_visited_set` gate needs an oracle that does NOT share
+code with the engine (the Python oracle crawler reuses DomainCrawlSession,
+so it proves distribution, not semantics).  This module generates a
+deterministic synthetic web whose admission facts are *ground truth by
+construction* — the generator itself decides which robots variant, noise
+link, redirect target and seed it plants — and exports those facts as
+parquet so a DuckDB recursive-CTE reachability closure can derive the
+expected visited set with zero engine code.
+
+Fixture design constraints that make the visited set SQL-expressible
+(each is the subject of its own dedicated gate/test elsewhere):
+
+- crawl_depth (10_000) exceeds every domain's page count, so the depth
+  budget never truncates the BFS → visited = admitted reachable closure
+  (budget semantics: `depth_growth`/`spec_growth` gates + frontier tests);
+- no 429/-1 pages → the error budget (MAX_ERRORS=20) never aborts a
+  domain (budget semantics: `error_budget` gate);
+- hrefs use only SQL-resolvable shapes (absolute path, same-domain
+  absolute URL, #fragment suffix) — messy relative resolution is covered
+  by the LinkParserTest vectors in tests/test_canon.py;
+- no query params → no sanitizer in SQL (covered by `url_canonicalize`).
+
+What the closure DOES exercise end-to-end, engine vs independent SQL:
+robots gating (4 variants incl. the UA-override parse), blocklist drops,
+binary-suffix/scheme href rejection, same-domain confinement, first-wins
+dedup, seed injection + forced root, same-domain 301 re-entry,
+cross-domain redirect drops, per-site-type link filters (mediawiki), and
+excluded domains (probe error / probe redirect / robots full block).
+
+Reference model: the hermetic mock-fetcher test architecture
+(crawling-process/test/.../CrawlerMockFetcherTest.java:38-178).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+GATE_SEED = 7
+N_DOMAINS = 10
+EXPORT_DIR = os.path.join(tempfile.gettempdir(), "msx_gate_export_v1")
+
+_EXCLUDED = frozenset({5, 6, 7})  # probe-error, probe-redirect, robots-blocked
+
+# every noise href is inadmissible, each through a different gate
+_NOISE = [
+    "mailto:owner@example.org",        # scheme
+    "javascript:void(0)",              # scheme
+    "#top",                            # bare anchor
+    "/files/archive.zip",              # binary suffix
+    "/docs/paper.pdf",                 # binary suffix
+    "/repo/.git/config",               # UrlBlocklist .git/ rule
+    "https://offsite.example.net/page",  # cross-domain
+]
+
+
+def _name(i: int) -> str:
+    return f"gate{i}.example.org"
+
+
+def _robots(i: int):
+    """(robots_txt, rob_private, rob_php) — text plus its ground-truth facts."""
+    if i == 7:
+        return "User-agent: *\nDisallow: /\n", False, False
+    v = i % 4
+    if v == 0:
+        return None, False, False
+    if v == 1:
+        return "User-agent: *\nDisallow: /private/\n", True, False
+    if v == 2:
+        # blanket disallow with our-UA override (DomainCrawlerRobotsTxtTest)
+        txt = (
+            "User-agent: *\nDisallow: /\n\n"
+            "User-agent: GoogleBot\nUser-agent: search.marginalia.nu\n"
+            "Disallow:\nDisallow: /private/\n"
+        )
+        return txt, True, False
+    return "User-agent: *\nDisallow: /*.php$\n", False, True
+
+
+def _paths(i: int) -> list[str]:
+    paths = ["/"]
+    paths += [f"/p{k}.html" for k in range(1, 13)]
+    paths += [f"/item{k}.php" for k in range(1, 4)]
+    paths += [f"/private/s{k}.html" for k in range(1, 4)]
+    if i == 8:  # mediawiki domain: link-filter cases
+        paths += [f"/wiki/Page{k}" for k in range(1, 7)]
+        paths += ["/wiki/Talk:Page1", "/wiki/Special:Recent", "/index.php"]
+    return paths
+
+
+def generate_gate_web():
+    """Returns (pages_rows, domains_rows, gw_domains, gw_links) where the
+    first two are in the engine's synthetic-web frame schema and the last
+    two are the ground-truth export for the SQL oracle."""
+    pages_rows: list[dict] = []
+    domains_rows: list[dict] = []
+    gw_domains: list[dict] = []
+    gw_links: list[dict] = []
+
+    for i in range(N_DOMAINS):
+        name = _name(i)
+        robots_txt, rob_private, rob_php = _robots(i)
+        probe = "ok"
+        if i == 5:
+            probe = "error"
+        elif i == 6:
+            probe = "redirect:www.elsewhere.example.com"
+
+        seeds: list[str] = []
+        if i % 3 == 0:
+            seeds.append(f"https://{name}/p1.html")
+        if i == 4:
+            seeds.append(f"https://{name}/p99.html")  # 404 seed — still visited
+        if i == 9:
+            seeds.append(f"https://{name}/private/s1.html")  # robots-refused seed
+
+        domains_rows.append(
+            {
+                "domain": name,
+                "top_domain": "example.org",
+                "proto": "https",
+                "probe": probe,
+                "robots_txt": robots_txt,
+                "site_kind": "mediawiki" if i == 8 else "default",
+                "crawl_depth": 10_000,
+                "seed_urls": seeds,
+                "sitemap_urls": [],
+                "generator_meta": "MediaWiki 1.39.1" if i == 8 else "",
+                "has_lemmy_config": False,
+            }
+        )
+        gw_domains.append(
+            {
+                "domain": name,
+                "excluded": i in _EXCLUDED,
+                "rob_private": rob_private,
+                "rob_php": rob_php,
+                "is_mediawiki": i == 8,
+                "seed_urls": seeds,
+            }
+        )
+
+        paths = _paths(i)
+        urls = [f"https://{name}{p}" for p in paths]
+        for idx, path in enumerate(paths):
+            rng = np.random.default_rng([GATE_SEED, i, idx])
+            status, redirect_to = 200, None
+            if idx > 0:
+                r = rng.random()
+                if r < 0.08:
+                    status = 404
+                elif r < 0.14:
+                    status = 301
+                    if rng.random() < 0.2:
+                        redirect_to = "https://elsewhere.example.com/x"
+                    else:
+                        redirect_to = urls[int(rng.integers(0, len(urls)))]
+                elif r < 0.18:
+                    status = 500
+
+            links: list[str] = []
+            if status == 200:
+                n_links = int(rng.integers(3, 9))
+                targets = [paths[int(t)] for t in rng.integers(0, len(paths), size=n_links)]
+                for t in targets:
+                    style = int(rng.integers(0, 3))
+                    if style == 0:
+                        links.append(t)
+                    elif style == 1:
+                        links.append(f"https://{name}{t}")
+                    else:
+                        links.append(t + "#s2")
+                for pick in rng.choice(len(_NOISE), size=2, replace=False):
+                    links.append(_NOISE[int(pick)])
+                links.append(targets[0])  # duplicate — first-wins dedup case
+                for href in links:
+                    gw_links.append(
+                        {"domain": name, "src_url": urls[idx], "href": href, "kind": "link"}
+                    )
+            elif status == 301:
+                gw_links.append(
+                    {
+                        "domain": name,
+                        "src_url": urls[idx],
+                        "href": redirect_to,
+                        "kind": "redirect",
+                    }
+                )
+
+            pages_rows.append(
+                {
+                    "domain": name,
+                    "path": path,
+                    "param": None,
+                    "url": urls[idx],
+                    "status": status,
+                    "redirect_to": redirect_to,
+                    "content_type": "text/html",
+                    "image_id": None,
+                    "base_href": None,
+                    "links": links,
+                    "feed_links": [],
+                    "body_marker": None,
+                    "etag": None,
+                    "last_modified": None,
+                }
+            )
+    return pages_rows, domains_rows, gw_domains, gw_links
+
+
+def gate_web_frames():
+    """(pages_pdf, domains_pdf) in the engine's synthetic-web frame schema."""
+    import pandas as pd
+
+    pages_rows, domains_rows, _, _ = generate_gate_web()
+    return pd.DataFrame(pages_rows), pd.DataFrame(domains_rows)
+
+
+def ensure_export(export_dir: str = EXPORT_DIR) -> str:
+    """Write the ground-truth facts as parquet (atomic, idempotent —
+    content is deterministic so concurrent writers produce identical files)."""
+    import pandas as pd
+
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    _, _, gw_domains, gw_links = generate_gate_web()
+    tmp = tempfile.mkdtemp(prefix="msx_gate_tmp_")
+    pd.DataFrame(gw_domains).to_parquet(os.path.join(tmp, "gw_domains.parquet"))
+    pd.DataFrame(gw_links).to_parquet(os.path.join(tmp, "gw_links.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, export_dir)
+    except OSError:
+        pass  # another writer won the race; identical content
+    return export_dir
+
+
+def oracle_sql(export_dir: str = EXPORT_DIR) -> str:
+    """The independent DuckDB oracle: recursive reachability closure over
+    the ground-truth link facts with the admission gates mirrored as plain
+    SQL predicates.  Shares no code with the engine."""
+    dd = os.path.join(export_dir, "gw_domains.parquet")
+    ll = os.path.join(export_dir, "gw_links.parquet")
+    return f"""
+        WITH RECURSIVE
+        doms AS (
+            SELECT domain, rob_private, rob_php, is_mediawiki, seed_urls
+            FROM read_parquet('{dd}') WHERE NOT excluded),
+        resolved AS (
+            SELECT l.domain, l.src_url, d.rob_private, d.rob_php, d.is_mediawiki,
+                   split_part(CASE
+                       WHEN l.href LIKE 'https://' || l.domain || '/%'
+                            THEN substr(l.href, length(l.domain) + 9)
+                       WHEN l.href LIKE '/%' THEN l.href
+                       ELSE NULL END, '#', 1) AS path
+            FROM read_parquet('{ll}') l JOIN doms d USING (domain)),
+        adm AS (
+            SELECT domain, src_url, 'https://' || domain || path AS dst_url
+            FROM resolved
+            WHERE path IS NOT NULL AND length(path) > 0
+              AND path NOT LIKE '%.zip' AND path NOT LIKE '%.pdf'
+              AND path NOT LIKE '%.git/%'
+              AND (NOT rob_private OR path NOT LIKE '/private/%')
+              AND (NOT rob_php OR path NOT LIKE '%.php')
+              AND (NOT is_mediawiki OR NOT (path LIKE '%.php'
+                       OR path LIKE '%Special:%' OR path LIKE '%Talk:%'))),
+        seedrows AS (
+            SELECT domain, unnest(seed_urls) AS url,
+                   rob_private, rob_php, is_mediawiki
+            FROM doms),
+        starts AS (
+            SELECT domain, 'https://' || domain || '/' AS url FROM doms
+            UNION ALL
+            SELECT domain, url FROM (
+                SELECT domain, url,
+                       substr(url, length(domain) + 9) AS path,
+                       rob_private, rob_php, is_mediawiki
+                FROM seedrows) s
+            WHERE (NOT rob_private OR path NOT LIKE '/private/%')
+              AND (NOT rob_php OR path NOT LIKE '%.php')
+              AND (NOT is_mediawiki OR NOT (path LIKE '%.php'
+                       OR path LIKE '%Special:%' OR path LIKE '%Talk:%'))
+              AND path NOT LIKE '%.git/%'),
+        visited (domain, url) AS (
+            SELECT domain, url FROM starts
+            UNION
+            SELECT a.domain, a.dst_url
+            FROM visited v JOIN adm a ON v.domain = a.domain AND v.url = a.src_url)
+        SELECT domain, url FROM visited
+    """

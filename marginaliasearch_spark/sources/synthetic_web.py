@@ -51,6 +51,7 @@ class Page:
     body_marker: Optional[str] = None  # first bytes, for feed validation
     etag: Optional[str] = None
     last_modified: Optional[str] = None
+    body_text: Optional[str] = None  # synthetic HTML body (LSH content arm)
 
 
 @dataclass
