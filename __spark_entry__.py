@@ -424,29 +424,65 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id")
 
 
+def _planted_base(spark, sf_dir):
+    """embeddings as array<double> plus a deterministically perturbed copy
+    of every vector (vec_id + 100000, cosine ≈ 0.9998 to its original) —
+    the planted near-dup structure both engines construct identically."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x + F.lit(0.005) * F.sin(x * 1000 + F.col("vec_id"))).cast(
+                "double"
+            ),
+        ).alias("embedding"),
+    )
+    return base, pert
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """Exact cosine≥0.4 near-dup pairs (small-dim demo threshold)."""
+    """Near-dup pairs through the SHIPPING plan — banded hyperplane LSH
+    bucketed self-join + exact recheck (operators/similarity.py
+    cosine_pairs_lsh, never all-pairs).  The planted perturbed copies are
+    the only pairs over the 0.99 threshold, and the banded miss
+    probability (~1e-12/pair at this cosine) makes the LSH result equal
+    the oracle's exact pair set."""
     from marginaliasearch_spark.operators.similarity import cosine_pairs_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
-    # exact (bucketless) variant for oracle comparability: self-join via
-    # single bucket — at this sf the exact pair set is the contract
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    base, pert = _planted_base(spark, sf_dir)
+    planted = base.unionByName(pert)
+    pairs = cosine_pairs_lsh(planted, threshold=0.99, n_planes=8, n_bands=8)
+    return pairs.select("id_a", "id_b")
+
+
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    """ANN top-10 through the SHIPPING plan — multi-probe sign-LSH prune +
+    exact re-rank (cosine_topk_lsh).  A planted 12-copy cluster around
+    vec 0 is the true neighborhood; the oracle re-derives the same top-10
+    exactly (the copies' signatures sit within the probe radius with
+    near-certainty at this cosine, deterministic under the fixed seed)."""
+    from marginaliasearch_spark.operators.similarity import cosine_topk_lsh
+
+    base, _ = _planted_base(spark, sf_dir)
+    q = [
+        float(x)
+        for x in base.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    copies = spark.range(1, 13).select(
+        (F.col("id") + 200000).alias("vec_id"),
+        F.transform(
+            qarr,
+            lambda x: x
+            + F.lit(0.002) * F.col("id").cast("double") * F.sin(x * 1000 + F.col("id").cast("double")),
+        ).alias("embedding"),
     )
-    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a_, v: a_ + v))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a_, v: a_ + v))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (na * nb))
-        .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b")
-    )
+    aug = base.unionByName(copies)
+    return cosine_topk_lsh(aug, q, k=10, n_planes=12, probe_hamming=2).select("vec_id")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -521,6 +557,86 @@ def q_crawl_visited_set(spark, sf_dir):
     return v.select("domain", "url").distinct()
 
 
+def q_ip_admission(spark, sf_dir):
+    """IP/Geo domain admission (IpBlockList.java:61-93, GeoIpBlocklist.java:
+    19-42) as pure Column predicates over planted domain facts: .cn TLD,
+    4-digit-run hostnames, CIDR range hit, geo-graylist non-www subdomain.
+    The oracle declares the planted truth per case."""
+    from marginaliasearch_spark.operators.ipblocklist import domain_blocked_col
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 6
+    n = F.col("doc_id").cast("string")
+    domain = (
+        F.when(k == 0, F.concat(F.lit("site"), n, F.lit(".example.com")))
+        .when(k == 1, F.concat(F.lit("shop"), n, F.lit(".example.cn")))
+        .when(k == 2, F.concat(F.lit("farm1234x"), n, F.lit(".example.com")))
+        .when(k == 3, F.concat(F.lit("cdn"), n, F.lit(".blocked.net")))
+        .when(k == 4, F.concat(F.lit("sub"), n, F.lit(".gray.example")))
+        .otherwise(F.concat(F.lit("www."), F.lit("gray"), n, F.lit(".example")))
+    )
+    sub = F.when(k == 4, F.lit("sub")).when(k == 5, F.lit("www")).otherwise(F.lit(""))
+    country = F.when(k.isin(4, 5), F.lit("RU")).otherwise(F.lit("US"))
+    ip_int = F.when(k == 3, F.lit((10 << 24) | (9 << 16) | 5)).otherwise(
+        F.lit(10 << 24) + F.col("doc_id") % 250
+    )
+    cidr_lo, cidr_hi = (10 << 24) | (9 << 16), ((10 << 24) | (9 << 16)) + 0xFFFF
+    blocked = domain_blocked_col(domain, sub, country) | ip_int.between(cidr_lo, cidr_hi)
+    return docs.select(
+        "doc_id", domain.alias("domain"), blocked.cast("int").alias("blocked")
+    )
+
+
+def q_recrawl_retention(spark, sf_dir):
+    """Recrawl-retention gate: the engine replays a stored round-1 crawl
+    against a round-2 web with PLANTED per-document outcomes (304 via
+    If-None-Match/If-Modified-Since, header-equality retention, EasyLSH
+    content retention, genuine change, 404 memo) and must rediscover every
+    planted outcome through the conditional-fetch machinery
+    (CrawlerRetreiver.java:468-530; DocumentWithReference.java:24-65).
+    The oracle is a plain scan of the planted truth."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_recrawl_export,
+        generate_recrawl_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+
+    ensure_recrawl_export()
+    pages_rows, domains_rows, prev_rows, _ = generate_recrawl_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(pd.DataFrame(pages_rows), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    # dtype=object: pandas would otherwise decay int64+None to float64 and
+    # silently corrupt the 64-bit fingerprints
+    prev = spark.createDataFrame(
+        pd.DataFrame(prev_rows, dtype=object),
+        "domain string, pos long, url string, http_status int, image_id string,"
+        " etag string, last_modified string, lsh64 long",
+    )
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+    out_dir = tempfile.mkdtemp(prefix="msx_rc_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None, prev_crawl_df=prev)
+
+    log = engine.read_table("fetch_log")
+    outcome = (
+        F.when(F.col("action") == "FETCH_304", "304")
+        .when(F.col("action") == "RECRAWL_RETAINED_HEADER", "header")
+        .when(F.col("action") == "RECRAWL_RETAINED_LSH", "lsh")
+        .when(F.col("action") == "RECRAWL_CHANGED", "changed")
+        .when(F.col("action") == "RECRAWL_MEMO_404", "memo404")
+    )
+    return (
+        log.withColumn("outcome", outcome)
+        .filter(F.col("outcome").isNotNull())
+        .select("domain", "url", "outcome")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "worklog_compaction": q_worklog_compaction,
@@ -547,22 +663,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "payload_validate": q_payload_validate,
         "crawl_visited_set": q_crawl_visited_set,
+        "recrawl_retention": q_recrawl_retention,
+        "ip_admission": q_ip_admission,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from marginaliasearch_spark.sources.gate_web import ensure_export
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_export,
+        ensure_recrawl_export,
+        recrawl_oracle_sql,
+    )
     from marginaliasearch_spark.sources.gate_web import oracle_sql as gate_oracle_sql
 
     gate_dir = ensure_export()
+    rc_dir = ensure_recrawl_export()
     return {
         "crawl_visited_set": gate_oracle_sql(gate_dir),
+        "recrawl_retention": recrawl_oracle_sql(rc_dir),
+        "ip_admission": """
+            SELECT doc_id,
+                   CASE k WHEN 0 THEN 'site' || n || '.example.com'
+                          WHEN 1 THEN 'shop' || n || '.example.cn'
+                          WHEN 2 THEN 'farm1234x' || n || '.example.com'
+                          WHEN 3 THEN 'cdn' || n || '.blocked.net'
+                          WHEN 4 THEN 'sub' || n || '.gray.example'
+                          ELSE 'www.gray' || n || '.example' END AS domain,
+                   CASE WHEN k IN (1, 2, 3, 4) THEN 1
+                        WHEN length(CAST(doc_id AS VARCHAR)) >= 4
+                             AND regexp_matches(CAST(doc_id AS VARCHAR), '\\d{4}')
+                        THEN 1 ELSE 0 END AS blocked
+            FROM (SELECT doc_id, doc_id % 6 AS k,
+                         CAST(doc_id AS VARCHAR) AS n
+                  FROM documents) t
+        """,
         "worklog_compaction": """
             SELECT user_id,
                    event_id AS last_event_id,
@@ -827,9 +968,36 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "embedding_near_dup": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings),
+            pert AS (
+                SELECT vec_id + 100000 AS vec_id, pe AS embedding FROM (
+                    SELECT vec_id,
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> x + 0.005 * sin(x * 1000 + vec_id)) AS pe
+                    FROM embeddings)),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "ann_cosine_topk_lsh": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings),
+            cop AS (
+                SELECT c + 200000 AS vec_id,
+                       list_transform(
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                            WHERE vec_id = 0),
+                           x -> x + 0.002 * c * sin(x * 1000 + c)) AS embedding
+                FROM generate_series(1, 12) t(c)),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM cop),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+                  WHERE vec_id = 0)
+            SELECT vec_id FROM allv, q
+            ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
+            LIMIT 10
         """,
     }

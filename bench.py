@@ -87,7 +87,7 @@ def run_crawl_bench(spark, n_domains: int, mean_pages: int, seed: int = 42):
     visited = engine.read_table("visits").count()
     seen = (
         engine.read_table("frontier")
-        .filter(F.col("state").isin("VISITED", "KNOWN"))
+        .filter(F.col("state").isin("VISITED", "KNOWN", "REFUSED"))
         .count()
     )
     wall = time.perf_counter() - t0

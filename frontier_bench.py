@@ -34,7 +34,7 @@ from bench import build_spark  # noqa: E402
 N_DOMAINS = 100_000
 
 
-def gen_frontier(spark, n_rows: int, parts: int):
+def gen_frontier(spark, n_rows: int, parts: int, lo: int = 0):
     """Distributed deterministic frontier: (id) → (domain, url, url_hash).
 
     Domain sizes are Zipf-skewed (quadratic transform of a uniform hash);
@@ -75,7 +75,7 @@ def gen_frontier(spark, n_rows: int, parts: int):
                 }
             )
 
-    return spark.range(n_rows).repartition(parts).mapInPandas(gen, schema)
+    return spark.range(lo, lo + n_rows).repartition(parts).mapInPandas(gen, schema)
 
 
 def main() -> None:
@@ -96,15 +96,33 @@ def main() -> None:
     n = frontier.count()
     t_gen = time.perf_counter() - t0
 
-    seen = frontier.filter(F.col("id") % 3 != 0).select("bucket", "url_hash")
-    cands = frontier.filter(F.col("id") % 2 == 0).select("bucket", "url_hash", "url")
+    seen = frontier.select("bucket", "url_hash")
+    # realistic discovery regime: a wave's candidate batch is a small
+    # fraction of the historical seen-set (~5% here), ~half already seen —
+    # the exact join must shuffle ALL of seen every wave; the Bloom path
+    # probes candidates and only scans seen for the maybe-positives
+    n_cand = max(n_rows // 20, 10_000)
+    cand_lo = n_rows - n_cand // 2
+    cands = gen_frontier(spark, n_cand, parts, lo=cand_lo).select(
+        "bucket", "url_hash", "url"
+    ).cache()
+    n_cands = cands.count()
 
     t0 = time.perf_counter()
     exact_new = cands.join(seen.select("url_hash"), "url_hash", "left_anti").count()
     t_exact = time.perf_counter() - t0
 
+    # snapshot-amortized path: filters are maintained incrementally across
+    # waves (bloom_or_new_keys), so the steady-state wave cost is the probe
+    from marginaliasearch_spark.operators.bloom import build_bloom_per_bucket
+
     t0 = time.perf_counter()
-    bloom_new = bloom_anti_join(cands, seen).count()
+    blooms = build_bloom_per_bucket(seen).cache()
+    blooms.count()
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bloom_new = bloom_anti_join(cands, seen, blooms=blooms).count()
     t_bloom = time.perf_counter() - t0
     assert bloom_new == exact_new, (bloom_new, exact_new)
 
@@ -121,9 +139,12 @@ def main() -> None:
         "cpus": cpus,
         "gen_hash_sec": round(t_gen, 2),
         "gen_hash_urls_per_sec": round(n / t_gen, 0),
+        "candidates": n_cands,
         "exact_antijoin_sec": round(t_exact, 2),
+        "bloom_build_sec": round(t_build, 2),
         "bloom_antijoin_sec": round(t_bloom, 2),
-        "dedup_rows_per_sec_exact": round(n / 2 / t_exact, 0),
+        "dedup_rows_per_sec_exact": round(n_cands / t_exact, 0),
+        "dedup_rows_per_sec_bloom": round(n_cands / t_bloom, 0),
         "new_urls": exact_new,
         "wave_selection_sec": round(t_wave, 2),
         "wave_rows": n_wave,
@@ -135,9 +156,12 @@ def main() -> None:
         f"{n:,}-row generator-backed frontier (Zipf-skewed over {N_DOMAINS:,} "
         "domains), bit-exact URL hashes computed distributed:\n\n"
         f"- generate+hash: {t_gen:.1f}s ({n / t_gen:,.0f} URLs/s)\n"
-        f"- exact anti-join dedup ({n//2:,} candidates vs {2*n//3:,} seen): "
-        f"{t_exact:.1f}s ({n / 2 / t_exact:,.0f} URLs deduped/s) → {exact_new:,} new\n"
-        f"- Bloom-prefiltered anti-join: {t_bloom:.1f}s (result identical)\n"
+        f"- exact anti-join dedup ({n_cands:,} candidates, ~50% already seen, vs {n:,} seen; "
+        f"full seen-set shuffled): {t_exact:.1f}s ({n_cands / t_exact:,.0f} URLs deduped/s) "
+        f"→ {exact_new:,} new\n"
+        f"- Bloom build (once, then incremental OR per snapshot): {t_build:.1f}s\n"
+        f"- Bloom-cogrouped anti-join (steady-state wave cost; seen scanned, never "
+        f"shuffled): {t_bloom:.1f}s ({n_cands / t_bloom:,.0f} URLs deduped/s; result identical)\n"
         f"- politeness wave selection (top-5 per domain window): {t_wave:.1f}s\n"
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:

@@ -332,12 +332,15 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.98,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate vectors by cosine ≥ threshold, random-hyperplane-LSH
-    bucketed so the self-join never goes all-pairs (see similarity.py for
-    the shared plumbing)."""
+    """Near-duplicate vectors by cosine ≥ threshold, banded random-
+    hyperplane-LSH bucketed so the self-join never goes all-pairs (see
+    similarity.py for the shared plumbing)."""
     from .similarity import cosine_pairs_lsh
 
-    return cosine_pairs_lsh(emb, vec_col, id_col, threshold, n_planes, seed)
+    return cosine_pairs_lsh(
+        emb, vec_col, id_col, threshold, n_planes=n_planes, n_bands=n_bands, seed=seed
+    )

@@ -134,28 +134,47 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.98,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via same-bucket self-join + exact check."""
+    """All-pairs cosine ≥ threshold via BANDED hyperplane LSH + exact check.
+
+    OR-amplification: ``n_bands`` independent signatures of ``n_planes``
+    hyperplanes each; a pair is a candidate iff it shares a signature in
+    ANY band, then the exact cosine recheck removes false candidates.
+    Miss probability per true pair = (1 - p^r)^B with p = 1 - θ/π — at
+    near-dup thresholds (θ small) it is astronomically small (e.g.
+    cosine ≥ 0.999, r=8, B=8 → ~1e-12), which is what lets the gate
+    compare this plan's result against the exact oracle pair set.
+    Shuffle shape: explode ×B on (band, sig) → self-join within buckets —
+    never all-pairs."""
     first = emb.select(vec_col).first()
     if first is None:
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
     dim = len(first[0])
-    bucketed = with_lsh_bucket(emb, vec_col, dim, n_planes, seed).select(
-        id_col, vec_col, "lsh_bucket"
+    planes = _planes(dim, n_planes * n_bands, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        sigs = []
+        for b in range(n_bands):
+            sigs.append(_sign_sig(mat, planes[b * n_planes : (b + 1) * n_planes]))
+        arr = np.stack(sigs, axis=1)  # [B, n_bands]
+        return pd.Series(list(arr))
+
+    bucketed = (
+        emb.withColumn("_sigs", band_sigs(F.col(vec_col)))
+        .select(id_col, vec_col, F.posexplode("_sigs").alias("band", "sig"))
     )
     a = bucketed.select(
-        F.col("lsh_bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+        "band", "sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = bucketed.select(
-        F.col("lsh_bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+        "band", "sig", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -163,12 +182,12 @@ def cosine_pairs_lsh(
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))
     return (
-        a.join(b, "lsh_bucket")
+        a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # same pair may collide in >1 band
         .withColumn("cosine", (dot / (na * nb)).cast("double"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -47,10 +47,22 @@ LIKELY_FEED_ENDPOINTS = [
 QUEUED = "QUEUED"
 KNOWN = "KNOWN"
 VISITED = "VISITED"
+REFUSED = "REFUSED"
+
+
+def _lsh64_signed(body: str) -> int:
+    """EasyLSH content fingerprint as a signed 64-bit int (LongType-safe)."""
+    from ..canon.easylsh import content_hash
+
+    h = content_hash(body)
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 class WebLike(Protocol):
     def fetch(self, url: EdgeUrl) -> Page: ...
+    def fetch_conditional(
+        self, url: EdgeUrl, etag: Optional[str] = None, last_modified: Optional[str] = None
+    ) -> tuple[Page, bool]: ...
     def page_at(self, url: EdgeUrl) -> Optional[Page]: ...
 
 
@@ -117,6 +129,10 @@ class DomainCrawlSession:
         self.error_count = 0
         self.crawler_additions = 0
         self.recrawl_size = 0
+        # RecrawlMetadata counters (CrawlerRevisitor.RecrawlMetadata)
+        self.recrawl_recrawled = 0
+        self.recrawl_retained = 0
+        self.recrawl_skipped = 0
 
         # per-wave output buffers (drained by the caller)
         self.new_crawl_data: list[dict] = []
@@ -161,6 +177,7 @@ class DomainCrawlSession:
 
         if not self.rules.is_allowed(str(probed)):
             self._log(str(probed), "REFUSED_ROBOTS")
+            self.frontier.mark_refused(probed)
             self.phase = "blocked"
             return self.phase
         self.timer.wait_fetch_delay(0)
@@ -209,6 +226,7 @@ class DomainCrawlSession:
 
             if not self.rules.is_allowed(str(top)):
                 self._log(str(top), "REFUSED_ROBOTS")
+                frontier.mark_refused(top)
                 continue
             if not frontier.filter_link(top):
                 continue
@@ -278,6 +296,11 @@ class DomainCrawlSession:
             "image_id": page.image_id,
             "etag": page.etag,
             "last_modified": page.last_modified,
+            # 8-byte content fingerprint stored in lieu of the body — the
+            # next recrawl's LSH "is content same" arm reads it back
+            "lsh64": (
+                _lsh64_signed(page.body_text) if page.body_text is not None else None
+            ),
         }
         if self.validate_payload and page.image_id:
             # inline payload validation: decode the fetched image (numpy)
@@ -388,7 +411,19 @@ class DomainCrawlSession:
                 self.frontier.add_all(urls)
 
     def _recrawl(self, prev_crawl: list[dict]) -> tuple[int, int]:
-        """CrawlerRevisitor.recrawl with a seeded RNG (determinism pin)."""
+        """CrawlerRevisitor.recrawl with a seeded RNG (determinism pin).
+
+        Conditional-fetch semantics (CrawlerRetreiver.fetchContentWithReference:
+        468-530; DocumentWithReference.java:24-65): the stored doc's validators
+        are painted onto the request (ETag preferred — ContentTags.java:20-31);
+        a 304 answer is Result304ReplacedWithReference — the stored body is
+        re-recorded, its links harvested, and the doc counts as retained.  On
+        a full 200 answer, "same" means an identical non-blank ETag or
+        Last-Modified header, else the EasyLSH content fingerprint within
+        hamming<4 (CrawlDataReference.isContentBodySame).  Instead of shipping
+        stored bodies to executors, the prior crawl carries the 8-byte
+        ``lsh64`` fingerprint computed at record time — same decision, 8 bytes
+        of state per document."""
         rng = np.random.default_rng([self.seed, 555])
         frontier = self.frontier
         recrawled = retained = errors = skipped = size = 0
@@ -409,6 +444,7 @@ class DomainCrawlSession:
                 continue
             if doc["http_status"] == 404:
                 frontier.add_visited(url)
+                self._log(str(url), "RECRAWL_MEMO_404", 404)
                 continue
             if doc["http_status"] not in (200, 206):
                 continue
@@ -422,6 +458,7 @@ class DomainCrawlSession:
                 continue
             if not self.rules.is_allowed(str(url)):
                 self._log(str(url), "REFUSED_ROBOTS")
+                frontier.mark_refused(url)
                 continue
             size += 1
 
@@ -446,26 +483,61 @@ class DomainCrawlSession:
                 self._log(str(url), "REFERENCE_COPY", doc["http_status"])
                 skipped += 1
             else:
-                page = self._fetch(url)
+                # conditional GET with the stored validators painted on
+                tag_etag = doc.get("etag")
+                tag_lm = doc.get("last_modified")
+                page, got304 = self.web.fetch_conditional(url, tag_etag, tag_lm)
+                self.timer.sleep(fetch_time_ms(str(url)))
                 spent = fetch_time_ms(str(url))
+
+                if got304:
+                    # Result304ReplacedWithReference: stored body re-recorded,
+                    # links harvested from it, retained
+                    self._log(str(url), "FETCH_304", 304)
+                    self.new_visits.append(str(url))
+                    self.timer.wait_fetch_delay(spent)
+                    if page.content_type == "text/html":
+                        # 304 ⇒ unchanged ⇒ the live page IS the stored body
+                        self._enqueue_links(url, page)
+                        frontier.add_visited(url)
+                        self._record(page, url)
+                    retained += 1
+                    recrawled += 1
+                    continue
+
                 self._log(str(url), "FETCH_RECRAWL", page.status)
                 self.new_visits.append(str(url))
                 self.timer.wait_fetch_delay(spent)
 
-                is_same = (
-                    page.status == 200
-                    and doc.get("etag") is not None
-                    and page.etag == doc.get("etag")
-                )
+                is_same = False
+                outcome = "RECRAWL_CHANGED"
+                if page.status == 200:
+                    if (
+                        page.last_modified
+                        and doc.get("last_modified")
+                        and page.last_modified == doc.get("last_modified")
+                    ) or (page.etag and doc.get("etag") and page.etag == doc.get("etag")):
+                        is_same = True
+                        outcome = "RECRAWL_RETAINED_HEADER"
+                    elif doc.get("lsh64") is not None and page.body_text is not None:
+                        from ..canon.easylsh import content_hash, is_hash_same
+
+                        if is_hash_same(int(doc["lsh64"]), content_hash(page.body_text)):
+                            is_same = True
+                            outcome = "RECRAWL_RETAINED_LSH"
                 if page.status == 200 and page.content_type == "text/html":
                     self._enqueue_links(url, page)
                     frontier.add_visited(url)
                     self._record(page, url)
+                self._log(str(url), outcome, page.status)
                 if is_same:
                     retained += 1
                 elif page.status in (429, -1):
                     errors += 1
                 recrawled += 1
+        self.recrawl_recrawled = recrawled
+        self.recrawl_retained = retained
+        self.recrawl_skipped = skipped
         return size, errors
 
     # ------------------------------------------------------------------
@@ -504,14 +576,28 @@ class DomainCrawlSession:
                     "state": QUEUED,
                 }
             )
+        refused = self.frontier.refused
         for h, vis in self.frontier.visited.items():
+            state = VISITED if vis else (REFUSED if h in refused else KNOWN)
             rows.append(
                 {
                     "domain": self.info.domain,
                     "url_hash": h,
                     "url": None,
                     "seq": -1,
-                    "state": VISITED if vis else KNOWN,
+                    "state": state,
+                }
+            )
+        # refused hashes outside the seen-set (blocked root before any
+        # enqueue) still get a lineage row
+        for h in refused - set(self.frontier.visited):
+            rows.append(
+                {
+                    "domain": self.info.domain,
+                    "url_hash": h,
+                    "url": None,
+                    "seq": -1,
+                    "state": REFUSED,
                 }
             )
         return rows
@@ -527,6 +613,9 @@ class DomainCrawlSession:
                 "error_count": self.error_count,
                 "crawler_additions": self.crawler_additions,
                 "recrawl_size": self.recrawl_size,
+                "recrawl_recrawled": self.recrawl_recrawled,
+                "recrawl_retained": self.recrawl_retained,
+                "recrawl_skipped": self.recrawl_skipped,
                 "clock_ms": self.timer.clock_ms,
                 "slow_down": self.timer.slow_down,
                 "crawl_delay_ms": self.rules.crawl_delay_ms,
@@ -553,6 +642,9 @@ class DomainCrawlSession:
         sess.error_count = st["error_count"]
         sess.crawler_additions = st["crawler_additions"]
         sess.recrawl_size = st["recrawl_size"]
+        sess.recrawl_recrawled = st.get("recrawl_recrawled", 0)
+        sess.recrawl_retained = st.get("recrawl_retained", 0)
+        sess.recrawl_skipped = st.get("recrawl_skipped", 0)
         sess.rules = RobotRules.from_dict(st["robots"])
         sess.timer = Timer(st["crawl_delay_ms"], clock_ms=st["clock_ms"], slow_down=st["slow_down"])
 
@@ -566,5 +658,8 @@ class DomainCrawlSession:
                 f.visited[int(r["url_hash"])] = False
             elif r["state"] == VISITED:
                 f.visited[int(r["url_hash"])] = True
+            elif r["state"] == REFUSED:
+                f.refused.add(int(r["url_hash"]))
+                f.visited.setdefault(int(r["url_hash"]), False)
         f.visited_cnt = st["visited_cnt"]
         return sess

@@ -27,8 +27,9 @@ import os
 import shutil
 from typing import Optional
 
-APPEND_TABLES = ("wave_out",)  # unified append log; crawl_data/fetch_log/
-# visits are row_kind-filtered views over it (one physical write per wave)
+APPEND_TABLES = ("wave_out", "wave_offsets")  # unified append log +
+# token-budget offsets side table; crawl_data/fetch_log/visits are
+# row_kind-filtered views over wave_out (one physical write per wave)
 REPLACE_TABLES = ("domain_state",)
 # the frontier is tracked per bucket (manifest key "frontier_buckets") —
 # Iceberg partition-overwrite semantics: a wave only rewrites dirty buckets

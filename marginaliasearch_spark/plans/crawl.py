@@ -68,6 +68,8 @@ STATE_IN_SCHEMA = T.StructType(
         T.StructField("http_status", T.IntegerType()),
         T.StructField("image_id", T.StringType()),
         T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.StringType()),
+        T.StructField("lsh64", T.LongType()),
     ]
 )
 
@@ -91,6 +93,7 @@ WAVE_OUT_SCHEMA = T.StructType(
         T.StructField("url2", T.StringType()),  # edge rows: url=src, url2=dst
         T.StructField("phash", T.LongType()),    # inline payload validation
         T.StructField("psnr_ok", T.IntegerType()),
+        T.StructField("lsh64", T.LongType()),    # content fingerprint (revisit)
     ]
 )
 
@@ -182,13 +185,26 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
             # replay order = stored order (the reference iterates the prior
             # Slop table sequentially); `seq` carries the position
             prev_rows = state_pdf[state_pdf.row_kind == "prev_crawl"].sort_values("seq")
-            prev = (
-                prev_rows[["url", "http_status", "image_id", "etag"]]
-                .assign(http_status=lambda d: d.http_status.astype(int))
-                .to_dict("records")
-                if not prev_rows.empty
-                else None
-            )
+            if not prev_rows.empty:
+                pr = prev_rows[
+                    ["url", "http_status", "image_id", "etag", "last_modified", "lsh64"]
+                ].copy()
+                pr["http_status"] = pr["http_status"].astype(int)
+                # NaN (pandas null) → None so the session sees real absent tags
+                pr = pr.astype(object).where(pd.notnull(pr), None)
+                # lsh64 travels as a never-null long (sentinel 0 = absent) so
+                # Arrow→pandas cannot decay it to float64 and corrupt the bits
+                prev = [
+                    {
+                        **r,
+                        "lsh64": (
+                            int(r["lsh64"]) if r["lsh64"] not in (None, 0) else None
+                        ),
+                    }
+                    for r in pr.to_dict("records")
+                ]
+            else:
+                prev = None
             atag_rows = state_pdf[state_pdf.row_kind == "atag"].sort_values("seq")
             atags = atag_rows["url"].tolist() if not atag_rows.empty else None
             sess = DomainCrawlSession(info, web, seed=seed, validate_payload=validate_payload)
@@ -236,6 +252,7 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
                     last_modified=rec["last_modified"],
                     phash=rec.get("phash"),
                     psnr_ok=(None if "psnr_ok" not in rec else int(rec["psnr_ok"])),
+                    lsh64=rec.get("lsh64"),
                 )
             )
         if phase == "active":
@@ -269,7 +286,7 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
         # dtype=object stops pandas decaying int+None columns to float64,
         # which silently corrupts 64-bit url hashes; then go to nullable ints
         pdf = pd.DataFrame(out, columns=_OUT_COLS, dtype=object)
-        for col in ("url_hash", "seq", "virtual_ms", "idx", "phash"):
+        for col in ("url_hash", "seq", "virtual_ms", "idx", "phash", "lsh64"):
             pdf[col] = pdf[col].astype("Int64")
         for col in ("http_status", "psnr_ok"):
             pdf[col] = pdf[col].astype("Int32")
@@ -278,58 +295,41 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
     return wave_fn
 
 
-def _make_topdomain_wave_fn(
-    wave_budget: Optional[int], seed: int, validate_payload: bool = False
-):
-    """Top-domain-grouped wave: member domains of one top-domain run in one
-    group with the reference's per-top-domain token budget applied on the
-    virtual clock (wordpress.com 16, blogspot 8, substack 1, default 2 —
-    LocalDomainCoordinator.java:88-100).  Per-domain crawl order and the
-    seen-set are identical to domain-grouping; only the audit-trail
-    timestamps reflect the semaphore schedule."""
-    from ..canon.domain import top_domain_of
+OFFSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType()),
+        T.StructField("offset_ms", T.LongType()),
+    ]
+)
+
+
+def _make_offsets_fn():
+    """Per-top-domain token-budget schedule (wordpress.com 16, blogspot 8,
+    substack 1, default 2 — LocalDomainCoordinator.java:88-100) as a SMALL
+    post-wave pass: member domains crawl in permits-unbounded parallel
+    tasks (the wave itself groups by domain), and this pass derives each
+    member's virtual-clock start offset from the greedy list schedule of
+    their wave durations onto `permits` slots with the 1 s grant cadence.
+    Offsets land in a per-wave side table the fetch_log view applies —
+    per-domain crawl order and the seen-set are untouched; only the
+    audit-trail timestamps reflect the semaphore, and a blogspot.com-scale
+    top-domain no longer serializes its thousands of members into one
+    task."""
     from ..operators.scheduling import DEFAULT_PERMITS, TOP_DOMAIN_PERMITS
 
-    single = _make_wave_fn(wave_budget, seed, validate_payload)
-
-    def wave_fn(state_pdf: pd.DataFrame, pages_pdf: pd.DataFrame) -> pd.DataFrame:
-        if state_pdf.empty:
-            return pd.DataFrame(columns=_OUT_COLS)
-        domains = sorted(
-            state_pdf.loc[state_pdf.row_kind == "domain_state", "domain"].unique()
+    def offsets_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        top = key[0]
+        permits = TOP_DOMAIN_PERMITS.get(top, DEFAULT_PERMITS)
+        durations = [
+            (r["domain"], int(max(r["dur_ms"], 0)))
+            for _, r in pdf.sort_values("domain").iterrows()
+        ]
+        offs = _schedule_offsets(durations, permits)
+        return pd.DataFrame(
+            {"domain": list(offs.keys()), "offset_ms": list(offs.values())}
         )
-        if not domains:
-            return pd.DataFrame(columns=_OUT_COLS)
 
-        outs: dict[str, pd.DataFrame] = {}
-        durations: list[tuple[str, int]] = []
-        for d in domains:
-            sub_state = state_pdf[state_pdf.domain == d]
-            sub_pages = pages_pdf[pages_pdf.domain == d] if not pages_pdf.empty else pages_pdf
-            prev_clock = 0
-            sj = sub_state.loc[sub_state.row_kind == "domain_state", "state_json"].iloc[0]
-            if isinstance(sj, str) and sj:
-                prev_clock = int(json.loads(sj).get("clock_ms", 0))
-            pdf = single(sub_state, sub_pages)
-            outs[d] = pdf
-            new_clock = prev_clock
-            ds_out = pdf[pdf.row_kind == "domain_state"]
-            if not ds_out.empty:
-                new_clock = int(json.loads(ds_out["state_json"].iloc[0]).get("clock_ms", 0))
-            durations.append((d, max(new_clock - prev_clock, 0)))
-
-        permits = TOP_DOMAIN_PERMITS.get(top_domain_of(domains[0]), DEFAULT_PERMITS)
-        offsets = _schedule_offsets(durations, permits)
-        shifted = []
-        for d, pdf in outs.items():
-            off = offsets.get(d, 0)
-            if off and not pdf.empty:
-                mask = pdf.row_kind == "fetch_log"
-                pdf.loc[mask, "virtual_ms"] = pdf.loc[mask, "virtual_ms"] + off
-            shifted.append(pdf)
-        return pd.concat(shifted, ignore_index=True) if shifted else pd.DataFrame(columns=_OUT_COLS)
-
-    return wave_fn
+    return offsets_fn
 
 
 # ---------------------------------------------------------------------------
@@ -362,12 +362,26 @@ class SparkCrawlEngine:
             return self._wave_view(
                 "crawl_data",
                 ["domain", "url", "http_status", "content_type", "image_id",
-                 "etag", "last_modified", "phash", "psnr_ok", "wave", "idx"],
+                 "etag", "last_modified", "phash", "psnr_ok", "lsh64", "wave", "idx"],
             )
         if table == "fetch_log":
-            return self._wave_view(
+            v = self._wave_view(
                 "fetch_log", ["domain", "url", "action", "http_status", "virtual_ms", "idx", "wave"]
             )
+            offp = self.catalog.paths("wave_offsets")
+            if v is not None and offp:
+                # token-budget offsets (top_domain mode): shift the audit
+                # trail by each domain's per-wave schedule start
+                off = self.spark.read.parquet(*offp)
+                v = (
+                    v.join(F.broadcast(off), ["domain", "wave"], "left")
+                    .withColumn(
+                        "virtual_ms",
+                        F.col("virtual_ms") + F.coalesce(F.col("offset_ms"), F.lit(0)),
+                    )
+                    .drop("offset_ms")
+                )
+            return v
         if table == "visits":
             return self._wave_view("visits", ["domain", "url", "idx", "wave"], kind="visit")
         if table == "edges":
@@ -407,20 +421,64 @@ class SparkCrawlEngine:
         self,
         web_domains_df: DataFrame,
         specs_df: DataFrame,
+        ip_facts_df: Optional[DataFrame] = None,
+        cidr_df: Optional[DataFrame] = None,
     ) -> None:
         """Seed domain_state from crawl specs ⋈ per-domain web facts.
 
         Mirrors the domain-list scan + spec construction
         (ref: CrawlerMain.java:285-307,764-818); the blacklist/availability
         drops are plain joins the caller applies to specs_df first.
+
+        IP/Geo admission (IpBlockList.java:61-93, GeoIpBlocklist.java:19-42)
+        is applied here, at spec load, exactly like the reference: name
+        rules (.cn TLD, 4+-digit runs) always; geo-graylist and CIDR rules
+        when ``ip_facts_df`` (domain, ip, country) / ``cidr_df``
+        (range_lo, range_hi — broadcast dimension) are provided.  Blocked
+        domains are RECORDED with terminal phase 'blocked_ip' (never
+        crawled, visible in domain_state) rather than silently dropped.
         """
+        from ..operators.ipblocklist import domain_blocked_col
+
         wd = web_domains_df
-        ds = (
-            specs_df.alias("s")
-            .join(wd.alias("w"), on="domain", how="left")
-            .select(
+        joined = specs_df.alias("s").join(wd.alias("w"), on="domain", how="left")
+        top = F.coalesce(F.col("w.top_domain"), F.col("domain"))
+        # sub_domain = hostname minus ".top_domain" ("" when they coincide)
+        sub = F.when(F.col("domain") == top, F.lit("")).otherwise(
+            F.col("domain").substr(F.lit(1), F.length(F.col("domain")) - F.length(top) - 1)
+        )
+        if ip_facts_df is not None:
+            joined = joined.join(F.broadcast(ip_facts_df), "domain", "left")
+            country = F.col("country")
+            ip_int = F.col("ip_int") if "ip_int" in ip_facts_df.columns else F.lit(None)
+        else:
+            country = F.lit(None).cast("string")
+            ip_int = F.lit(None).cast("long")
+        blocked = domain_blocked_col(F.col("domain"), sub, country)
+        joined = joined.withColumn("_ip_blocked", blocked).withColumn("_ip_int", ip_int)
+        if cidr_df is not None:
+            # range-join against the broadcast CIDR dimension; the hit set
+            # is tiny → broadcast it back as a flag
+            cidr_hit = joined.select("domain", "_ip_int").join(
+                F.broadcast(cidr_df),
+                (F.col("_ip_int") >= F.col("range_lo"))
+                & (F.col("_ip_int") <= F.col("range_hi")),
+                "left_semi",
+            )
+            joined = joined.join(
+                F.broadcast(
+                    cidr_hit.select("domain").withColumn("_cidr_hit", F.lit(True))
+                ),
                 "domain",
-                F.coalesce(F.col("w.top_domain"), F.col("domain")).alias("top_domain"),
+                "left",
+            ).withColumn(
+                "_ip_blocked",
+                F.col("_ip_blocked") | F.coalesce(F.col("_cidr_hit"), F.lit(False)),
+            )
+        ds = (
+            joined.select(
+                "domain",
+                top.alias("top_domain"),
                 F.to_json(
                     F.struct(
                         F.col("w.proto").alias("proto"),
@@ -434,7 +492,9 @@ class SparkCrawlEngine:
                         F.col("s.seed_urls").alias("seed_urls"),
                     )
                 ).alias("info_json"),
-                F.lit("pending").alias("phase"),
+                F.when(F.col("_ip_blocked"), F.lit("blocked_ip"))
+                .otherwise(F.lit("pending"))
+                .alias("phase"),
                 F.lit(None).cast("string").alias("state_json"),
             )
             .dropDuplicates(["domain"])  # duplicate specs dedup (CrawlerMain:550-552)
@@ -451,8 +511,14 @@ class SparkCrawlEngine:
         prev_crawl_df: Optional[DataFrame] = None,
         atags_df: Optional[DataFrame] = None,
         group_key: str = "domain",
+        deadline_s: Optional[float] = None,
     ) -> int:
         """Advance all domains to terminal phase; returns wave count.
+
+        ``deadline_s`` is the timed-run wall budget (the reference's
+        TimedRun, default 7 days — CrawlerMain.java:831-878,410-433): once
+        elapsed, no NEW wave is submitted; the in-flight wave commits its
+        snapshot normally, so the run stays exactly resumable.
 
         ``group_key="top_domain"`` co-locates all domains sharing a
         top-domain in one group and applies the per-top-domain token
@@ -473,7 +539,7 @@ class SparkCrawlEngine:
         try:
             return self._run_waves_inner(
                 web_pages_df, wave_budget, max_waves, prev_crawl_df, atags_df,
-                group_key,
+                group_key, deadline_s,
             )
         finally:
             conf.set(key, old_coalesce)
@@ -486,10 +552,16 @@ class SparkCrawlEngine:
         prev_crawl_df: Optional[DataFrame],
         atags_df: Optional[DataFrame] = None,
         group_key: str = "domain",
+        deadline_s: Optional[float] = None,
     ) -> int:
+        import time as _time
+
         waves_done = 0
+        t_start = _time.monotonic()
 
         while waves_done < max_waves:
+            if deadline_s is not None and _time.monotonic() - t_start >= deadline_s:
+                break  # timed-run deadline: stop submitting waves, stay resumable
             manifest = self.catalog.load()
             wave = manifest["wave"] + 1
 
@@ -510,6 +582,8 @@ class SparkCrawlEngine:
                 F.lit(0).cast("int").alias("http_status"),
                 F.lit(None).cast("string").alias("image_id"),
                 F.lit(None).cast("string").alias("etag"),
+                F.lit(None).cast("string").alias("last_modified"),
+                F.lit(0).cast("long").alias("lsh64"),
             )
             frontier = self._read("frontier")
             if frontier is not None:
@@ -525,11 +599,19 @@ class SparkCrawlEngine:
                     F.lit(0).cast("int").alias("http_status"),
                     F.lit(None).cast("string").alias("image_id"),
                     F.lit(None).cast("string").alias("etag"),
+                    F.lit(None).cast("string").alias("last_modified"),
+                    F.lit(0).cast("long").alias("lsh64"),
                 )
                 left = left.unionByName(fr)
             if prev_crawl_df is not None:
+                pcd = prev_crawl_df
+                # older prev-crawl tables may lack the validator columns
+                if "last_modified" not in pcd.columns:
+                    pcd = pcd.withColumn("last_modified", F.lit(None).cast("string"))
+                if "lsh64" not in pcd.columns:
+                    pcd = pcd.withColumn("lsh64", F.lit(None).cast("long"))
                 pending = active.filter(F.col("phase") == "pending").select("domain")
-                pc = prev_crawl_df.join(pending, "domain", "left_semi").select(
+                pc = pcd.join(pending, "domain", "left_semi").select(
                     "domain",
                     F.lit("prev_crawl").alias("row_kind"),
                     F.lit(0).cast("long").alias("url_hash"),
@@ -541,6 +623,8 @@ class SparkCrawlEngine:
                     F.col("http_status").cast("int").alias("http_status"),
                     "image_id",
                     "etag",
+                    "last_modified",
+                    F.coalesce(F.col("lsh64").cast("long"), F.lit(0)).alias("lsh64"),
                 )
                 left = left.unionByName(pc)
             if atags_df is not None:
@@ -557,31 +641,28 @@ class SparkCrawlEngine:
                     F.lit(0).cast("int").alias("http_status"),
                     F.lit(None).cast("string").alias("image_id"),
                     F.lit(None).cast("string").alias("etag"),
+                    F.lit(None).cast("string").alias("last_modified"),
+                    F.lit(0).cast("long").alias("lsh64"),
                 )
                 left = left.unionByName(at)
 
-            if group_key == "top_domain":
-                mapping = domain_state.select("domain", "top_domain")
-                left = left.join(F.broadcast(mapping), "domain")
-                pages_grouped = (
-                    web_pages_df.join(F.broadcast(mapping), "domain")
-                    .groupby("top_domain")
-                )
-                wave_fn = _make_topdomain_wave_fn(
-                    wave_budget, self.seed, self.validate_inline
-                )
-                out = (
-                    left.groupby("top_domain")
-                    .cogroup(pages_grouped)
-                    .applyInPandas(wave_fn, WAVE_OUT_SCHEMA)
-                )
-            else:
-                wave_fn = _make_wave_fn(wave_budget, self.seed, self.validate_inline)
-                out = (
-                    left.groupby("domain")
-                    .cogroup(web_pages_df.groupby("domain"))
-                    .applyInPandas(wave_fn, WAVE_OUT_SCHEMA)
-                )
+            # prune the pages side to ACTIVE domains before the cogroup:
+            # terminal domains' pages would otherwise be shuffled every
+            # wave for nothing — in late waves (1% of domains active) the
+            # pruned shuffle is ~100× smaller.  The active list is tiny →
+            # broadcast semi-join, no extra shuffle.
+            pages_active = web_pages_df.join(
+                F.broadcast(active.select("domain")), "domain", "left_semi"
+            )
+            # the wave ALWAYS groups by domain — permits-bounded budget mode
+            # only adds the small offsets post-pass below, so giant
+            # top-domains stay spread across tasks
+            wave_fn = _make_wave_fn(wave_budget, self.seed, self.validate_inline)
+            out = (
+                left.groupby("domain")
+                .cogroup(pages_active.groupby("domain"))
+                .applyInPandas(wave_fn, WAVE_OUT_SCHEMA)
+            )
 
             # ONE physical write per wave: the unified output log.  The
             # append tables (crawl_data/fetch_log/visits) are row_kind-
@@ -591,6 +672,40 @@ class SparkCrawlEngine:
             out.withColumn("wave", F.lit(wave)).write.mode("overwrite").parquet(opath)
             table_paths: dict[str, Optional[str]] = {"wave_out": opath}
             out_w = self.spark.read.parquet(opath)
+
+            if group_key == "top_domain":
+                # token-budget post-pass: per-top-domain greedy schedule of
+                # this wave's per-domain durations → (domain, offset_ms)
+                clk = lambda c: F.coalesce(
+                    F.get_json_object(c, "$.clock_ms").cast("long"), F.lit(0)
+                )
+                prev_clk = active.select(
+                    "domain", clk(F.col("state_json")).alias("clock0")
+                )
+                new_clk = (
+                    out_w.filter(F.col("row_kind") == "domain_state")
+                    .select("domain", clk(F.col("state_json")).alias("clock1"))
+                )
+                durs = (
+                    new_clk.join(prev_clk, "domain")
+                    .join(
+                        F.broadcast(domain_state.select("domain", "top_domain")),
+                        "domain",
+                    )
+                    .select(
+                        "top_domain",
+                        "domain",
+                        (F.col("clock1") - F.col("clock0")).alias("dur_ms"),
+                    )
+                )
+                offsets = durs.groupBy("top_domain").applyInPandas(
+                    _make_offsets_fn(), OFFSETS_SCHEMA
+                )
+                offpath = self.catalog.wave_path("wave_offsets", wave)
+                offsets.withColumn("wave", F.lit(wave)).write.mode(
+                    "overwrite"
+                ).parquet(offpath)
+                table_paths["wave_offsets"] = offpath
 
             # frontier: per-bucket COW (Iceberg partition-overwrite).  Only
             # buckets containing an active domain are rewritten; rows of
@@ -680,12 +795,15 @@ class SparkCrawlEngine:
         return out
 
     def dedup_metrics(self) -> DataFrame:
-        """Fetch/dedup metrics per domain: URLs seen (KNOWN+VISITED),
+        """Fetch/dedup metrics per domain: URLs seen (KNOWN+REFUSED+VISITED),
         visited, still queued, robots refusals, fetch attempts."""
         fr = self._read("frontier")
         agg = fr.groupBy("domain").agg(
             F.sum(F.when(F.col("state") == "VISITED", 1).otherwise(0)).alias("n_visited"),
-            F.sum(F.when(F.col("state") == "KNOWN", 1).otherwise(0)).alias("n_known_unvisited"),
+            F.sum(
+                F.when(F.col("state").isin("KNOWN", "REFUSED"), 1).otherwise(0)
+            ).alias("n_known_unvisited"),
+            F.sum(F.when(F.col("state") == "REFUSED", 1).otherwise(0)).alias("n_refused"),
             F.sum(F.when(F.col("state") == "QUEUED", 1).otherwise(0)).alias("n_queued"),
         )
         log = self._read("fetch_log")
@@ -714,6 +832,15 @@ class SparkCrawlEngine:
             .cast("long")
             .alias("crawl_changes"),
             F.get_json_object("state_json", "$.recrawl_size").cast("long").alias("recrawl_size"),
+            F.get_json_object("state_json", "$.recrawl_recrawled")
+            .cast("long")
+            .alias("recrawl_recrawled"),
+            F.get_json_object("state_json", "$.recrawl_retained")
+            .cast("long")
+            .alias("recrawl_retained"),
+            F.get_json_object("state_json", "$.recrawl_skipped")
+            .cast("long")
+            .alias("recrawl_skipped"),
             F.get_json_object("state_json", "$.clock_ms").cast("long").alias("crawl_time_ms"),
         )
         cd = self._read("crawl_data")

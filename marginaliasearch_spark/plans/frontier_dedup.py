@@ -1,0 +1,135 @@
+"""Global URL-seen dedup service — the 10^10-key admission plan.
+
+The crawl engine dedups per-domain inside bounded frontier groups; this
+plan is the GLOBAL layer a web-scale deployment puts in front of it: every
+batch of discovered candidate URLs (anchor tags, sitemaps, cross-domain
+links, seed lists) is admitted against the all-time URL-seen set keyed by
+the bit-exact canonicalized-URL hash (north rule: "URL-seen dedup uses a
+partitioned Bloom/cuckoo filter keyed by canonicalized-URL hash").
+
+Design for 10^10 keys:
+- the seen-set is an append-only parquet table bucketed by
+  pmod(url_hash, n_buckets) — a snapshot commit appends only the NEW keys;
+- one Bloom filter per bucket, FIXED m_bits, persisted as a table and
+  updated incrementally per snapshot by OR-ing in only the new keys'
+  bits (operators/bloom.py) — the historical seen-set is never rescanned;
+- admission = bloom_anti_join: Bloom negatives (the overwhelming majority
+  of genuinely-new URLs) never touch the seen-set; only maybe-positives
+  hit the per-bucket exact check.  No filter bytes pass through the driver.
+- crash-safe: a snapshot manifest (JSON, atomic rename) lists the live
+  seen paths + the current blooms path; an interrupted ingest leaves only
+  an orphaned uncommitted directory.
+
+Sizing: m_bits_per_bucket defaults to 2^23 (1 MiB/bucket); at 10^10 keys /
+12 bits/key total ≈ 15 GB, so a production run sizes n_buckets ≈ 16k to
+keep per-bucket filters ~1 MiB — one task's working set, never the
+driver's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bloom import bloom_anti_join, bloom_or_new_keys, build_bloom_per_bucket
+
+
+class FrontierDedup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 64,
+        m_bits_per_bucket: int = 1 << 23,
+        key_col: str = "url_hash",
+    ):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.m_bits = m_bits_per_bucket
+        self.key_col = key_col
+        os.makedirs(root, exist_ok=True)
+
+    # -- snapshot manifest -------------------------------------------------
+
+    def _manifest_path(self, n: int) -> str:
+        return os.path.join(self.root, f"dedup-snap-{n:06d}.json")
+
+    def latest_snapshot(self) -> Optional[int]:
+        snaps = [
+            int(f[11:17])
+            for f in os.listdir(self.root)
+            if f.startswith("dedup-snap-") and f.endswith(".json")
+        ]
+        return max(snaps) if snaps else None
+
+    def _load(self) -> dict:
+        n = self.latest_snapshot()
+        if n is None:
+            return {"snapshot": -1, "seen_paths": [], "blooms_path": None}
+        with open(self._manifest_path(n)) as f:
+            return json.load(f)
+
+    def seen(self) -> Optional[DataFrame]:
+        m = self._load()
+        if not m["seen_paths"]:
+            return None
+        return self.spark.read.parquet(*m["seen_paths"])
+
+    def blooms(self) -> Optional[DataFrame]:
+        m = self._load()
+        if m["blooms_path"] is None:
+            return None
+        return self.spark.read.parquet(m["blooms_path"])
+
+    # -- the operator --------------------------------------------------------
+
+    def ingest(self, candidates: DataFrame) -> DataFrame:
+        """Admit a batch: returns the accepted (never-seen) rows, appends
+        their keys to the seen-set and ORs them into the per-bucket Bloom
+        filters, all committed as one snapshot.  Only new keys are hashed."""
+        m = self._load()
+        snap = m["snapshot"] + 1
+
+        cand = candidates.withColumn(
+            "bucket", F.pmod(F.col(self.key_col), F.lit(self.n_buckets)).cast("int")
+        ).dropDuplicates([self.key_col])
+
+        seen = self.seen()
+        blooms = self.blooms()
+        if seen is None:
+            accepted = cand
+        else:
+            accepted = bloom_anti_join(cand, seen, key_col=self.key_col, blooms=blooms)
+
+        apath = os.path.join(self.root, f"accepted-{snap:06d}")
+        accepted.write.mode("overwrite").parquet(apath)
+        accepted_w = self.spark.read.parquet(apath)
+
+        new_keys = accepted_w.select("bucket", self.key_col)
+        bpath = os.path.join(self.root, f"blooms-{snap:06d}")
+        if blooms is None:
+            nb = build_bloom_per_bucket(new_keys, key_col=self.key_col, m_bits=self.m_bits)
+        else:
+            nb = bloom_or_new_keys(
+                blooms, new_keys, key_col=self.key_col, default_m_bits=self.m_bits
+            )
+        nb.write.mode("overwrite").parquet(bpath)
+
+        spath = os.path.join(self.root, f"seen-{snap:06d}")
+        new_keys.write.mode("overwrite").parquet(spath)
+
+        manifest = {
+            "snapshot": snap,
+            "seen_paths": m["seen_paths"] + [spath],
+            "blooms_path": bpath,
+        }
+        tmp = self._manifest_path(snap) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(snap))
+        return accepted_w.drop("bucket")

@@ -208,6 +208,7 @@ def generate_gate_web():
                     "body_marker": None,
                     "etag": None,
                     "last_modified": None,
+                    "body_text": None,
                 }
             )
     return pages_rows, domains_rows, gw_domains, gw_links
@@ -295,3 +296,145 @@ def oracle_sql(export_dir: str = EXPORT_DIR) -> str:
             FROM visited v JOIN adm a ON v.domain = a.domain AND v.url = a.src_url)
         SELECT domain, url FROM visited
     """
+
+
+# ---------------------------------------------------------------------------
+# Recrawl-retention gate fixture: round-2 web + stored round-1 docs with a
+# PLANTED outcome per document (the generator decides what changed), so the
+# oracle is a plain scan of planted truth while the engine must rediscover
+# each outcome through the conditional-fetch machinery (304 / header-equal /
+# EasyLSH / changed / 404 memo — DocumentWithReference.java:24-65,
+# CrawlerRetreiver.java:468-530).  ≤25 docs per domain keeps the revisit
+# sampler's skip probability pinned at 0 (CrawlerRevisitor.java:120-135),
+# making the outcome set fully deterministic.
+# ---------------------------------------------------------------------------
+
+RC_N_DOMAINS = 6
+RC_DOCS_PER_DOMAIN = 20  # < 25 → skip_prob stays 0 → deterministic
+_RC_OUTCOMES = ("304", "304", "header", "lsh", "changed", "memo404")
+
+_RC_BODY = (
+    "<html><body>"
+    + "granite harbor lantern meadow orchard pennant quarry russet timber " * 12
+    + "</body></html>"
+)
+_RC_BODY_NEAR = _RC_BODY.replace("orchard", "orchid", 1)
+_RC_BODY_DIFF = (
+    "<html><body>"
+    + "velvet wharf yarrow zenith abacus bramble cornice dormer eaves " * 12
+    + "</body></html>"
+)
+
+
+def generate_recrawl_fixture():
+    """Returns (pages_rows, domains_rows, prev_rows, expected_rows).
+
+    pages_rows/domains_rows: the ROUND-2 web in the engine's frame schema.
+    prev_rows: the stored round-1 crawl (domain, pos, url, http_status,
+    image_id, etag, last_modified, lsh64).
+    expected_rows: planted truth (domain, url, outcome).
+    """
+    from ..canon.easylsh import content_hash
+
+    def lsh_signed(body):
+        h = content_hash(body)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    pages_rows, domains_rows, prev_rows, expected_rows = [], [], [], []
+    for i in range(RC_N_DOMAINS):
+        name = f"rw{i}.example.org"
+        domains_rows.append(
+            {
+                "domain": name,
+                "top_domain": "example.org",
+                "proto": "https",
+                "probe": "ok",
+                "robots_txt": None,
+                "site_kind": "default",
+                "crawl_depth": 10_000,
+                "seed_urls": [],
+                "sitemap_urls": [],
+                "generator_meta": "",
+                "has_lemmy_config": False,
+            }
+        )
+
+        def page(path, status=200, etag=None, lm=None, body=None):
+            pages_rows.append(
+                {
+                    "domain": name, "path": path, "param": None,
+                    "url": f"https://{name}{path}", "status": status,
+                    "redirect_to": None, "content_type": "text/html",
+                    "image_id": "img-0" if status == 200 else None,
+                    "base_href": None, "links": [], "feed_links": [],
+                    "body_marker": None, "etag": etag, "last_modified": lm,
+                    "body_text": body,
+                }
+            )
+
+        page("/", body=_RC_BODY)
+        for j in range(RC_DOCS_PER_DOMAIN):
+            outcome = _RC_OUTCOMES[(i + j) % len(_RC_OUTCOMES)]
+            path = f"/doc{j}.html"
+            url = f"https://{name}{path}"
+            lm = f"Mon, 0{1 + j % 9} Jan 2024 00:00:00 GMT"
+            prev = {
+                "domain": name, "pos": j, "url": url, "http_status": 200,
+                "image_id": "img-0", "etag": None, "last_modified": None,
+                "lsh64": lsh_signed(_RC_BODY),
+            }
+            if outcome == "304":
+                # validators unchanged → server answers 304
+                if j % 2 == 0:
+                    page(path, etag=f'"e{j}"', body=_RC_BODY)
+                    prev["etag"] = f'"e{j}"'
+                else:
+                    page(path, lm=lm, body=_RC_BODY)
+                    prev["last_modified"] = lm
+            elif outcome == "header":
+                # ETag rotated (no 304) but Last-Modified identical —
+                # header-equality retains even though the body changed
+                page(path, etag=f'"new{j}"', lm=lm, body=_RC_BODY_DIFF)
+                prev["etag"] = f'"old{j}"'
+                prev["last_modified"] = lm
+                prev["lsh64"] = lsh_signed(_RC_BODY)
+            elif outcome == "lsh":
+                # no validators, body near-identical → EasyLSH retains
+                page(path, body=_RC_BODY_NEAR)
+            elif outcome == "changed":
+                # validators rotated AND body rewritten → genuinely changed
+                page(path, etag=f'"new{j}"', body=_RC_BODY_DIFF)
+                prev["etag"] = f'"old{j}"'
+            elif outcome == "memo404":
+                prev["http_status"] = 404
+                prev["image_id"] = None
+                prev["lsh64"] = None
+            prev_rows.append(prev)
+            expected_rows.append({"domain": name, "url": url, "outcome": outcome})
+    return pages_rows, domains_rows, prev_rows, expected_rows
+
+
+RECRAWL_EXPORT_DIR = os.path.join(tempfile.gettempdir(), "msx_gate_recrawl_v1")
+
+
+def ensure_recrawl_export(export_dir: str = RECRAWL_EXPORT_DIR) -> str:
+    import pandas as pd
+
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    _, _, _, expected = generate_recrawl_fixture()
+    tmp = tempfile.mkdtemp(prefix="msx_rc_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_recrawl.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, export_dir)
+    except OSError:
+        pass
+    return export_dir
+
+
+def recrawl_oracle_sql(export_dir: str = RECRAWL_EXPORT_DIR) -> str:
+    p = os.path.join(export_dir, "gw_recrawl.parquet")
+    return f"SELECT domain, url, outcome FROM read_parquet('{p}')"

@@ -68,6 +68,20 @@ class DomainSpec:
     has_lemmy_config: bool = False
 
 
+def conditional_304(page: Page, etag: Optional[str], last_modified: Optional[str]) -> bool:
+    """Server-side conditional-GET decision: 304 iff the painted tag matches
+    the resource's current validator.  Mirrors ContentTags.paint semantics
+    (ref: ContentTags.java:20-31 — If-None-Match from the ETag, else
+    If-Modified-Since from Last-Modified, never both)."""
+    if page.status != 200:
+        return False
+    if etag is not None:
+        return page.etag is not None and page.etag == etag
+    if last_modified is not None:
+        return page.last_modified is not None and page.last_modified == last_modified
+    return False
+
+
 class SyntheticWeb:
     def __init__(self, domains: dict[str, DomainSpec], pages: dict):
         self.domains = domains
@@ -87,6 +101,13 @@ class SyntheticWeb:
             return Page(str(url), url.domain.address, url.path, url.param, 404)
         return page
 
+    def fetch_conditional(
+        self, url: EdgeUrl, etag: Optional[str] = None, last_modified: Optional[str] = None
+    ) -> tuple[Page, bool]:
+        """(page, got_304) — conditional GET with reference tags."""
+        page = self.fetch(url)
+        return page, conditional_304(page, etag, last_modified)
+
     def all_pages(self) -> list[Page]:
         return list(self._pages.values())
 
@@ -103,21 +124,36 @@ _KIND_CYCLE = (
 _TLDS = (".com", ".org", ".net", ".co.uk", ".ac.jp")
 _SUBS = ("www.", "", "blog.")
 
+_BODY_WORDS = (
+    "archive", "barnacle", "cobalt", "derive", "estuary", "filament",
+    "gantry", "harbor", "isotope", "juniper", "kestrel", "lattice",
+    "meridian", "nocturne", "obsidian", "palisade", "quarry", "rivulet",
+    "sextant", "timber", "umbra", "vellum", "warble", "xylem", "yonder",
+    "zephyr", "anchor", "bellows", "cinder", "dovetail",
+)
+
 ROBOTS_VARIANTS = 6
 
 
+def _dnum(i: int) -> str:
+    """Domain-name-safe index: never emits a 4+-digit run (the reference's
+    IpBlockList numeric rule blocks such hostnames at spec load)."""
+    return str(i) if i < 1000 else f"{i // 1000}x{i % 1000}"
+
+
 def _domain_name(i: int, kind: str) -> str:
+    n = _dnum(i)
     if kind == "blogspot":
-        return f"u{i}.blogspot.com"
+        return f"u{n}.blogspot.com"
     if kind == "substack":
-        return f"s{i}.substack.com"
+        return f"s{n}.substack.com"
     if kind == "lemmy":
-        return f"lemmy{i}.example.org"
+        return f"lemmy{n}.example.org"
     if kind == "mediawiki":
-        return f"wiki{i}.example.org"
+        return f"wiki{n}.example.org"
     if kind == "discourse":
-        return f"forum{i}.example.net"
-    return f"{_SUBS[i % 3]}site{i}{_TLDS[i % 5]}"
+        return f"forum{n}.example.net"
+    return f"{_SUBS[i % 3]}site{n}{_TLDS[i % 5]}"
 
 
 def _paths_for(kind: str, n: int, rng: np.random.Generator) -> list[tuple[str, Optional[str]]]:
@@ -372,6 +408,17 @@ def generate_web(
             last_modified = (
                 "Mon, 01 Jan 2024 00:00:00 GMT" if prng.random() < 0.5 else None
             )
+            body_text = None
+            if status == 200:
+                # deterministic pseudo-HTML body — the LSH content-compare
+                # arm of the revisit logic needs real (near-)identical text
+                wpicks = prng.integers(0, len(_BODY_WORDS), size=int(40 + prng.integers(0, 80)))
+                body_text = (
+                    f"<html><head><title>{path}</title></head><body>"
+                    f"<h1>{name}{path}</h1><p>"
+                    + " ".join(_BODY_WORDS[int(w)] for w in wpicks)
+                    + "</p></body></html>"
+                )
 
             page = Page(
                 url=canonical[idx] if idx < len(canonical) else f"{proto}://{name}{path}",
@@ -387,6 +434,7 @@ def generate_web(
                 body_marker=body_marker,
                 etag=etag,
                 last_modified=last_modified,
+                body_text=body_text,
             )
             pages[(name, path, param)] = page
 
@@ -463,6 +511,7 @@ def web_to_frames(web: SyntheticWeb):
                 "body_marker": p.body_marker,
                 "etag": p.etag,
                 "last_modified": p.last_modified,
+                "body_text": p.body_text,
             }
         )
     drows = []
@@ -507,6 +556,7 @@ def spark_schemas():
             T.StructField("body_marker", T.StringType()),
             T.StructField("etag", T.StringType()),
             T.StructField("last_modified", T.StringType()),
+            T.StructField("body_text", T.StringType()),
         ]
     )
     domains = T.StructType(
@@ -560,6 +610,7 @@ class DomainPagesWeb:
                 body_marker=_nn(rec.get("body_marker")),
                 etag=_nn(rec.get("etag")),
                 last_modified=_nn(rec.get("last_modified")),
+                body_text=_nn(rec.get("body_text")),
             )
             self._pages[(page.domain, page.path, page.param)] = page
 
@@ -573,6 +624,12 @@ class DomainPagesWeb:
         if page is None:
             return Page(str(url), url.domain.address, url.path, url.param, 404)
         return page
+
+    def fetch_conditional(
+        self, url: EdgeUrl, etag: Optional[str] = None, last_modified: Optional[str] = None
+    ) -> tuple[Page, bool]:
+        page = self.fetch(url)
+        return page, conditional_304(page, etag, last_modified)
 
 
 def fetch_time_ms(url: str) -> int:

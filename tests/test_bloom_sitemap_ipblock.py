@@ -136,3 +136,41 @@ def test_cidr_filter_df(spark):
     )
     kept = [r["domain"] for r in filter_blocked_by_cidr(doms, cidr).collect()]
     assert kept == ["b.com"]
+
+
+def test_bloom_incremental_or_union_equals_exact(spark):
+    """Snapshot-incremental filters: build on seen₀, OR in seen₁'s new keys,
+    probe — result must equal the exact anti-join vs seen₀ ∪ seen₁, with
+    only the new keys hashed in the update."""
+    from marginaliasearch_spark.operators.bloom import (
+        bloom_anti_join,
+        bloom_or_new_keys,
+        build_bloom_per_bucket,
+    )
+
+    n_buckets = 8
+    m_bits = 1 << 16
+    seen0 = spark.range(0, 3000).select(
+        (F.xxhash64("id")).alias("url_hash"),
+        F.pmod(F.col("id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    seen1 = spark.range(3000, 5000).select(
+        (F.xxhash64("id")).alias("url_hash"),
+        F.pmod(F.col("id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    seen = seen0.unionByName(seen1)
+    cand = spark.range(2000, 9000).select(
+        (F.xxhash64("id")).alias("url_hash"),
+        F.pmod(F.col("id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+
+    blooms0 = build_bloom_per_bucket(seen0, m_bits=m_bits)
+    blooms1 = bloom_or_new_keys(blooms0, seen1, default_m_bits=m_bits)
+
+    got = sorted(
+        r["url_hash"] for r in bloom_anti_join(cand, seen, blooms=blooms1).collect()
+    )
+    want = sorted(
+        r["url_hash"] for r in cand.join(seen, "url_hash", "left_anti").collect()
+    )
+    assert got == want

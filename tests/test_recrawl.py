@@ -58,11 +58,21 @@ def test_spark_recrawl_matches_oracle(spark, web, round1, tmp_path_factory):
     for d, r1 in round1.items():
         for i, rec in enumerate(r1.crawl_data):
             prev_rows.append(
-                (d, i, rec["url"], rec["http_status"], rec["image_id"], rec["etag"])
+                (
+                    d,
+                    i,
+                    rec["url"],
+                    rec["http_status"],
+                    rec["image_id"],
+                    rec["etag"],
+                    rec["last_modified"],
+                    rec["lsh64"],
+                )
             )
     prev_df = spark.createDataFrame(
         prev_rows,
-        "domain string, pos long, url string, http_status int, image_id string, etag string",
+        "domain string, pos long, url string, http_status int, image_id string,"
+        " etag string, last_modified string, lsh64 long",
     )
 
     out = str(tmp_path_factory.mktemp("recrawl"))
@@ -88,8 +98,121 @@ def test_spark_recrawl_matches_oracle(spark, web, round1, tmp_path_factory):
     fr = engine.read_table("frontier").collect()
     spark_seen: dict = {}
     for r in fr:
-        if r["state"] in ("VISITED", "KNOWN"):
+        if r["state"] in ("VISITED", "KNOWN", "REFUSED"):
             spark_seen.setdefault(r["domain"], {})[r["url_hash"]] = r["state"] == "VISITED"
     for d, g in golden.items():
         if g.result == "crawled":
             assert spark_seen.get(d, {}) == g.seen_hashes, f"recrawl seen-set {d}"
+
+
+# ---------------------------------------------------------------------------
+# Conditional-fetch / 304 semantics (CrawlerRetreiver.fetchContentWithReference
+# + DocumentWithReference.isSame + ContentTags.paint), on a handcrafted web.
+# ---------------------------------------------------------------------------
+
+from marginaliasearch_spark.oracle.session import DomainCrawlSession, DomainInfo, _lsh64_signed
+from marginaliasearch_spark.sources.synthetic_web import DomainSpec, Page, SyntheticWeb
+
+_RC_DOMAIN = "rc.example.org"
+_BODY = "<html><body>" + "the quick brown fox jumps over the lazy dog " * 20 + "</body></html>"
+_BODY_NEAR = _BODY.replace("lazy dog", "lazy cat", 1)
+_BODY_DIFF = "<html><body>" + "entirely different text about submarines " * 20 + "</body></html>"
+
+
+def _rc_page(path, status=200, etag=None, lm=None, body=None, links=()):
+    return Page(
+        url=f"https://{_RC_DOMAIN}{path}",
+        domain=_RC_DOMAIN,
+        path=path,
+        param=None,
+        status=status,
+        etag=etag,
+        last_modified=lm,
+        body_text=body,
+        links=list(links),
+    )
+
+
+def _rc_web():
+    pages = {
+        (_RC_DOMAIN, p.path, None): p
+        for p in [
+            _rc_page("/", body=_BODY),
+            # A: etag unchanged → server 304 → Result304ReplacedWithReference
+            _rc_page("/a.html", etag='"A1"', body=_BODY),
+            # B: no etag, Last-Modified unchanged → If-Modified-Since → 304
+            _rc_page("/b.html", lm="Mon, 01 Jan 2024 00:00:00 GMT", body=_BODY),
+            # C: etag rotated, body near-identical → LSH hamming<4 → retained
+            _rc_page("/c.html", etag='"C2"', body=_BODY_NEAR),
+            # D: etag rotated, body rewritten → changed
+            _rc_page("/d.html", etag='"D2"', body=_BODY_DIFF),
+            # E: no validators at all, body identical → LSH retained
+            _rc_page("/e.html", body=_BODY),
+            # G: etag rotated but Last-Modified identical → header arm retains
+            _rc_page("/g.html", etag='"G2"', lm="Tue, 02 Jan 2024 00:00:00 GMT", body=_BODY_DIFF),
+        ]
+    }
+    spec = DomainSpec(
+        domain=_RC_DOMAIN, proto="https", probe="ok", robots_txt=None,
+        site_kind="default", crawl_depth=10_000, seed_urls=[],
+    )
+    return SyntheticWeb({_RC_DOMAIN: spec}, pages)
+
+
+def _rc_prev():
+    def rec(path, status=200, image_id="img-1", etag=None, lm=None, body=_BODY):
+        return {
+            "url": f"https://{_RC_DOMAIN}{path}",
+            "http_status": status,
+            "image_id": image_id,
+            "etag": etag,
+            "last_modified": lm,
+            "lsh64": _lsh64_signed(body) if body else None,
+        }
+
+    return [
+        rec("/a.html", etag='"A1"'),
+        rec("/b.html", lm="Mon, 01 Jan 2024 00:00:00 GMT"),
+        rec("/c.html", etag='"C1"'),
+        rec("/d.html", etag='"D1"'),
+        rec("/e.html"),
+        rec("/f.html", status=404),  # 404 memo — never fetched again
+        rec("/g.html", etag='"G1"', lm="Tue, 02 Jan 2024 00:00:00 GMT", body=_BODY_DIFF),
+    ]
+
+
+def test_conditional_fetch_304_and_lsh_arms():
+    web = _rc_web()
+    info = DomainInfo(domain=_RC_DOMAIN, proto="https", probe="ok",
+                      robots_txt=None, crawl_depth=10_000)
+    sess = DomainCrawlSession(info, web, seed=SEED)
+    phase = sess.setup(prev_crawl=_rc_prev())
+    assert phase == "active"
+
+    actions = {}
+    for rec in sess.new_fetch_log:
+        actions.setdefault(rec["url"], []).append(rec["action"])
+
+    u = lambda p: f"https://{_RC_DOMAIN}{p}"
+    assert actions[u("/a.html")] == ["FETCH_304"]
+    assert actions[u("/b.html")] == ["FETCH_304"]
+    assert actions[u("/c.html")] == ["FETCH_RECRAWL", "RECRAWL_RETAINED_LSH"]
+    assert actions[u("/d.html")] == ["FETCH_RECRAWL", "RECRAWL_CHANGED"]
+    assert actions[u("/e.html")] == ["FETCH_RECRAWL", "RECRAWL_RETAINED_LSH"]
+    assert actions[u("/f.html")] == ["RECRAWL_MEMO_404"]
+    assert actions[u("/g.html")] == ["FETCH_RECRAWL", "RECRAWL_RETAINED_HEADER"]
+
+    # 304-replaced docs are re-recorded into the new crawl data (the
+    # reference writes the stored body back to the WARC)
+    recorded = {r["url"] for r in sess.new_crawl_data}
+    assert u("/a.html") in recorded and u("/b.html") in recorded
+    # ...and the 404-memoized doc is not
+    assert u("/f.html") not in recorded
+
+    # visited set: every replayed doc incl. the 404 memo
+    for p in ["/a.html", "/b.html", "/c.html", "/d.html", "/e.html", "/g.html"]:
+        assert sess.frontier.is_visited(
+            sess.frontier.correct_schema(
+                __import__("marginaliasearch_spark.canon.url", fromlist=["parse_url"]).parse_url(u(p))
+            )
+        )

@@ -67,7 +67,7 @@ def _assert_matches_oracle(engine, golden):
     fr = engine.read_table("frontier").collect()
     spark_seen: dict = {}
     for r in fr:
-        if r["state"] in ("VISITED", "KNOWN"):
+        if r["state"] in ("VISITED", "KNOWN", "REFUSED"):
             spark_seen.setdefault(r["domain"], {})[r["url_hash"]] = r["state"] == "VISITED"
         elif r["state"] == "QUEUED":
             pass
@@ -157,3 +157,50 @@ def test_crawl_meta(spark, web_dfs, golden, tmp_path_factory):
             assert meta[d]["visited_cnt"] == len(g.seen_hashes and
                 [h for h, v in g.seen_hashes.items() if v])
             assert meta[d]["error_count"] == g.error_count
+
+
+def test_refused_state_survives_compaction(spark, tmp_path):
+    """REFUSED rows persist in the frontier after the domain terminates
+    (lineage for the WARC-resync refused-re-probe, ref:
+    CrawlerWarcResynchronizer.java:70-78)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+
+    d = "refuse.example.com"
+    rows = [
+        {
+            "domain": d, "path": "/", "param": None, "url": f"https://{d}/",
+            "status": 200, "redirect_to": None, "content_type": "text/html",
+            "image_id": None, "base_href": None,
+            "links": ["/private/x.html", "/ok.html"], "feed_links": [],
+            "body_marker": None, "etag": None, "last_modified": None,
+            "body_text": None,
+        },
+        {
+            "domain": d, "path": "/ok.html", "param": None,
+            "url": f"https://{d}/ok.html", "status": 200, "redirect_to": None,
+            "content_type": "text/html", "image_id": None, "base_href": None,
+            "links": [], "feed_links": [], "body_marker": None, "etag": None,
+            "last_modified": None, "body_text": None,
+        },
+    ]
+    drows = [{
+        "domain": d, "top_domain": "example.com", "proto": "https",
+        "probe": "ok", "robots_txt": "User-agent: *\nDisallow: /private/\n",
+        "site_kind": "default", "crawl_depth": 100, "seed_urls": [],
+        "sitemap_urls": [], "generator_meta": "", "has_lemmy_config": False,
+    }]
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=ps)
+    doms = spark.createDataFrame(pd.DataFrame(drows), schema=ds)
+    eng = SparkCrawlEngine(spark, str(tmp_path / "rf"), seed=42, n_buckets=4)
+    eng.init_run(doms, doms.select("domain", "crawl_depth", "seed_urls"))
+    eng.run_waves(pages, wave_budget=None)
+
+    fr = eng.read_table("frontier")
+    states = {r["state"] for r in fr.collect()}
+    assert "REFUSED" in states  # /private/x.html refusal survives compaction
+    assert fr.filter(F.col("state") == "QUEUED").count() == 0  # compacted

@@ -64,7 +64,7 @@ def test_topdomain_grouping_equivalence(spark, tmp_path):
     def seen_of(engine):
         out = {}
         for r in engine.read_table("frontier").collect():
-            if r["state"] in ("VISITED", "KNOWN"):
+            if r["state"] in ("VISITED", "KNOWN", "REFUSED"):
                 out.setdefault(r["domain"], {})[r["url_hash"]] = r["state"] == "VISITED"
         return out
 
@@ -82,3 +82,84 @@ def test_topdomain_grouping_equivalence(spark, tmp_path):
     offset_groups = [v for v in tops.values() if len(v) > 1]
     if offset_groups:
         assert any(max(v) - min(v) >= 1000 for v in offset_groups)
+
+def test_hundred_member_topdomain_budget_and_parallelism(spark, tmp_path):
+    """A blogspot.com-scale top-domain (100 members, permits=8): the wave
+    spreads members across per-domain tasks (no serial mega-group), and the
+    offsets side table reproduces the greedy permit schedule exactly —
+    ≤8 concurrent members, ≥1 s grant cadence."""
+    import pandas as pd
+
+    from marginaliasearch_spark.operators.scheduling import TOP_DOMAIN_PERMITS
+
+    n = 100
+    rows, drows = [], []
+    for i in range(n):
+        d = f"m{i}.blogspot.com"
+        drows.append({
+            "domain": d, "top_domain": "blogspot.com", "proto": "https",
+            "probe": "ok", "robots_txt": None, "site_kind": "blogspot",
+            "crawl_depth": 50, "seed_urls": [], "sitemap_urls": [],
+            "generator_meta": "", "has_lemmy_config": False,
+        })
+        rows.append({
+            "domain": d, "path": "/", "param": None, "url": f"https://{d}/",
+            "status": 200, "redirect_to": None, "content_type": "text/html",
+            "image_id": None, "base_href": None,
+            "links": [f"/p{i % 3}.html"], "feed_links": [], "body_marker": None,
+            "etag": None, "last_modified": None, "body_text": None,
+        })
+        rows.append({
+            "domain": d, "path": f"/p{i % 3}.html", "param": None,
+            "url": f"https://{d}/p{i % 3}.html", "status": 200,
+            "redirect_to": None, "content_type": "text/html", "image_id": None,
+            "base_href": None, "links": [], "feed_links": [],
+            "body_marker": None, "etag": None, "last_modified": None,
+            "body_text": None,
+        })
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=ps)
+    doms = spark.createDataFrame(pd.DataFrame(drows), schema=ds)
+    eng = SparkCrawlEngine(spark, str(tmp_path / "big"), seed=SEED, n_buckets=8)
+    eng.init_run(doms, doms.select("domain", "crawl_depth", "seed_urls"))
+    eng.run_waves(pages, wave_budget=None, group_key="top_domain")
+
+    # offsets side table: one row per member
+    offp = eng.catalog.paths("wave_offsets")
+    assert offp, "budget mode writes the offsets side table"
+    offs = {
+        r["domain"]: r["offset_ms"]
+        for r in spark.read.parquet(*offp).collect()
+    }
+    assert len(offs) == n
+
+    # exact budget semantics: recompute the greedy schedule from the
+    # engine's own per-domain durations
+    durs = {
+        r["domain"]: int(r["crawl_time_ms"])
+        for r in eng.crawl_meta().select("domain", "crawl_time_ms").collect()
+    }
+    expected = _schedule_offsets(sorted(durs.items()), TOP_DOMAIN_PERMITS["blogspot.com"])
+    assert offs == expected
+
+    # schedule validity: ≥1 s cadence between grants, ≤ permits concurrent
+    starts = sorted(offs.values())
+    assert all(b - a >= 1000 for a, b in zip(starts, starts[1:]))
+    events = []
+    for d, off in offs.items():
+        events.append((off, 1))
+        events.append((off + max(durs[d], 0), -1))
+    events.sort()
+    cur = peak = 0
+    for _, delta in events:
+        cur += delta
+        peak = max(peak, cur)
+    assert peak <= TOP_DOMAIN_PERMITS["blogspot.com"]
+
+    # multi-task execution: the wave groups by DOMAIN, so the physical plan
+    # has no top_domain mega-group; assert the fetch_log audit trail spans
+    # the permit schedule (first member at 0, last far beyond one serial slot)
+    log = eng.read_table("fetch_log").toPandas()
+    dstart = log.groupby("domain")["virtual_ms"].min()
+    assert dstart.min() >= 0
+    assert (dstart > 10_000).any()  # later members genuinely queued behind permits

@@ -55,6 +55,8 @@ def test_two_cycles_end_to_end(spark, tmp_path):
             "http_status",
             "image_id",
             "etag",
+            "last_modified",
+            "lsh64",
         )
     )
 
@@ -74,6 +76,8 @@ def test_two_cycles_end_to_end(spark, tmp_path):
                 "http_status": r["http_status"],
                 "image_id": r["image_id"],
                 "etag": r["etag"],
+                "last_modified": r["last_modified"],
+                "lsh64": r["lsh64"],
             }
         )
     golden = {
@@ -101,6 +105,12 @@ def test_two_cycles_end_to_end(spark, tmp_path):
     # recrawl actually replayed prior documents for crawled domains
     log2 = e2.read_table("fetch_log")
     replayed = (
-        log2.filter(F.col("action").isin("FETCH_RECRAWL", "REFERENCE_COPY")).count()
+        log2.filter(
+            F.col("action").isin("FETCH_RECRAWL", "REFERENCE_COPY", "FETCH_304")
+        ).count()
     )
     assert replayed > 0
+    # conditional fetch actually happens: a static web + stored validators
+    # means at least some documents come back 304
+    got_304 = log2.filter(F.col("action") == "FETCH_304").count()
+    assert got_304 > 0
