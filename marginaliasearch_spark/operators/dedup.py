@@ -107,8 +107,12 @@ def minhash_signature_batch(texts, num_hashes: int = 64, k: int = 5, seed: int =
 def _spread_for_compute(df: DataFrame) -> DataFrame:
     """Signature computation is compute-bound, not byte-bound: a small
     single-file table arrives as one input partition and would serialize
-    the UDF.  Spread to the cluster's parallelism first."""
+    the UDF.  Spread to the cluster's parallelism first — but only when
+    the input is actually under-split (a big table already carrying
+    enough partitions must NOT be shuffled wholesale just to hash it)."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

@@ -55,19 +55,23 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_rank"))
         )
-        linked_mass = (
+        # dangling mass folded in as a broadcast 1-row aggregate — no
+        # driver collect, no extra job per iteration (everything stays in
+        # the lazy plan until the periodic checkpoint cuts it)
+        linked = (
             ranks.join(out_deg, ranks.node == out_deg.src, "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("linked_mass"))
         )
-        dangling = float(n) - float(linked_mass)
-        base = (1.0 - damping) + damping * dangling / n
+        base = (
+            F.lit(1.0 - damping)
+            + F.lit(damping) * (F.lit(float(n)) - F.col("linked_mass")) / F.lit(float(n))
+        )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(linked))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))).alias(
+                (base + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))).alias(
                     "rank"
                 ),
             )

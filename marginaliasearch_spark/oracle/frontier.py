@@ -38,11 +38,11 @@ class DomainFrontier:
         self.depth = depth
         self.queue: deque[str] = deque()
         self.visited: dict[int, bool] = {}
-        # hashes refused by robots at fetch time — persisted distinctly
-        # (state REFUSED) so refusal lineage survives frontier compaction
-        # (the WARC-resync refused-re-probe input, CrawlerWarcResynchronizer
-        # .java:70-78)
-        self.refused: set[int] = set()
+        # hash → url refused by robots at fetch time — persisted distinctly
+        # (state REFUSED, with the url retained) so refusal lineage survives
+        # frontier compaction and can feed the next cycle's 10% re-probe
+        # (CrawlerWarcResynchronizer.java:70-78)
+        self.refused: dict[int, str] = {}
         self.visited_cnt = 0
         self.supports_https = True
         self.link_filter_kind = "default"
@@ -75,7 +75,7 @@ class DomainFrontier:
         return False
 
     def mark_refused(self, url: EdgeUrl) -> None:
-        self.refused.add(self.hash_url(url))
+        self.refused[self.hash_url(url)] = str(url)
 
     def is_visited(self, url: EdgeUrl) -> bool:
         return self.visited.get(self.hash_url(url)) is IS_VISITED

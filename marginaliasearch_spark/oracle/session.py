@@ -37,6 +37,12 @@ MAX_ERRORS = 20
 USER_AGENT = "search.marginalia.nu"
 DEFAULT_DELAY_MIN_MS = 1000
 DEFAULT_DELAY_MAX_MS = 2500
+# per-request budgets (WarcRecorder.java:41-45): bodies stream-truncated at
+# 32 MB, a single fetch capped at 30 s.  The synthetic fetch honors both:
+# bodies are clipped before recording/fingerprinting, and fetch_time_ms is
+# bounded ≪ the time budget by construction.
+MAX_BODY_BYTES = 32 * 1024 * 1024
+MAX_FETCH_TIME_MS = 30_000
 
 LIKELY_FEED_ENDPOINTS = [
     "rss.xml", "atom.xml", "feed.xml", "index.xml", "feed",
@@ -297,9 +303,13 @@ class DomainCrawlSession:
             "etag": page.etag,
             "last_modified": page.last_modified,
             # 8-byte content fingerprint stored in lieu of the body — the
-            # next recrawl's LSH "is content same" arm reads it back
+            # next recrawl's LSH "is content same" arm reads it back.
+            # Bodies past the 32 MB budget are clipped first, exactly like
+            # the reference's streaming truncation (WarcRecorder.java:41-45).
             "lsh64": (
-                _lsh64_signed(page.body_text) if page.body_text is not None else None
+                _lsh64_signed(page.body_text[:MAX_BODY_BYTES])
+                if page.body_text is not None
+                else None
             ),
         }
         if self.validate_payload and page.image_id:
@@ -522,7 +532,10 @@ class DomainCrawlSession:
                     elif doc.get("lsh64") is not None and page.body_text is not None:
                         from ..canon.easylsh import content_hash, is_hash_same
 
-                        if is_hash_same(int(doc["lsh64"]), content_hash(page.body_text)):
+                        if is_hash_same(
+                            int(doc["lsh64"]),
+                            content_hash(page.body_text[:MAX_BODY_BYTES]),
+                        ):
                             is_same = True
                             outcome = "RECRAWL_RETAINED_LSH"
                 if page.status == 200 and page.content_type == "text/html":
@@ -583,19 +596,23 @@ class DomainCrawlSession:
                 {
                     "domain": self.info.domain,
                     "url_hash": h,
-                    "url": None,
+                    # REFUSED rows retain the url — the next cycle's 10%
+                    # re-probe needs it (CrawlerWarcResynchronizer.java:70-78)
+                    "url": refused.get(h) if state == REFUSED else None,
                     "seq": -1,
                     "state": state,
                 }
             )
         # refused hashes outside the seen-set (blocked root before any
         # enqueue) still get a lineage row
-        for h in refused - set(self.frontier.visited):
+        for h, u in refused.items():
+            if h in self.frontier.visited:
+                continue
             rows.append(
                 {
                     "domain": self.info.domain,
                     "url_hash": h,
-                    "url": None,
+                    "url": u,
                     "seq": -1,
                     "state": REFUSED,
                 }
@@ -659,7 +676,7 @@ class DomainCrawlSession:
             elif r["state"] == VISITED:
                 f.visited[int(r["url_hash"])] = True
             elif r["state"] == REFUSED:
-                f.refused.add(int(r["url_hash"]))
+                f.refused[int(r["url_hash"])] = r.get("url")
                 f.visited.setdefault(int(r["url_hash"]), False)
         f.visited_cnt = st["visited_cnt"]
         return sess

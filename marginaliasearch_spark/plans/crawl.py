@@ -317,7 +317,7 @@ def _make_offsets_fn():
     task."""
     from ..operators.scheduling import DEFAULT_PERMITS, TOP_DOMAIN_PERMITS
 
-    def offsets_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def offsets_fn(key, pdf):  # (key, pdf) form — no hints, or Spark warns
         top = key[0]
         permits = TOP_DOMAIN_PERMITS.get(top, DEFAULT_PERMITS)
         durations = [
@@ -793,6 +793,26 @@ class SparkCrawlEngine:
                 }
             )
         return out
+
+    def refused_reprobe_candidates(self, probe_fraction: float = 0.1) -> DataFrame:
+        """The refused-re-probe input for the NEXT cycle: a deterministic
+        hash-sampled fraction of the persisted REFUSED urls ("to permit
+        circumstances to change over time, we'll allow for a small chance
+        of re-probing" — CrawlerWarcResynchronizer.java:70-78; seeded hash
+        instead of Math.random, the repo-wide determinism pin).  Feed the
+        result as ``atags_df`` (with a ``pos`` column) into the next
+        cycle's run_waves."""
+        fr = self._read("frontier")
+        if fr is None:
+            return None
+        return (
+            fr.filter((F.col("state") == "REFUSED") & F.col("url").isNotNull())
+            .filter(
+                F.pmod(F.xxhash64("url", F.lit(self.seed)), F.lit(1000))
+                < int(probe_fraction * 1000)
+            )
+            .select("domain", "url")
+        )
 
     def dedup_metrics(self) -> DataFrame:
         """Fetch/dedup metrics per domain: URLs seen (KNOWN+REFUSED+VISITED),

@@ -216,3 +216,36 @@ def test_conditional_fetch_304_and_lsh_arms():
                 __import__("marginaliasearch_spark.canon.url", fromlist=["parse_url"]).parse_url(u(p))
             )
         )
+
+
+def test_body_budget_clips_before_fingerprinting(monkeypatch):
+    """Per-request body budget (WarcRecorder.java:41-45): oversized bodies
+    are clipped before the LSH fingerprint, so a stored clipped fingerprint
+    still matches an unchanged oversized page on revisit."""
+    import marginaliasearch_spark.oracle.session as sess_mod
+
+    monkeypatch.setattr(sess_mod, "MAX_BODY_BYTES", 500)
+    big = "<html><body>" + "alpha beta gamma delta " * 200 + "</body></html>"
+    pages = {
+        (_RC_DOMAIN, p.path, None): p
+        for p in [
+            _rc_page("/", body=_BODY),
+            _rc_page("/big.html", body=big),  # no validators → LSH arm
+        ]
+    }
+    spec = DomainSpec(
+        domain=_RC_DOMAIN, proto="https", probe="ok", robots_txt=None,
+        site_kind="default", crawl_depth=10_000, seed_urls=[],
+    )
+    web = SyntheticWeb({_RC_DOMAIN: spec}, pages)
+    prev = [{
+        "url": f"https://{_RC_DOMAIN}/big.html", "http_status": 200,
+        "image_id": "img-1", "etag": None, "last_modified": None,
+        "lsh64": sess_mod._lsh64_signed(big[:500]),  # stored under the cap
+    }]
+    info = DomainInfo(domain=_RC_DOMAIN, proto="https", probe="ok",
+                      robots_txt=None, crawl_depth=10_000)
+    s = DomainCrawlSession(info, web, seed=SEED)
+    s.setup(prev_crawl=prev)
+    actions = [r["action"] for r in s.new_fetch_log if r["url"].endswith("/big.html")]
+    assert actions == ["FETCH_RECRAWL", "RECRAWL_RETAINED_LSH"]

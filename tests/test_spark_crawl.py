@@ -204,3 +204,51 @@ def test_refused_state_survives_compaction(spark, tmp_path):
     states = {r["state"] for r in fr.collect()}
     assert "REFUSED" in states  # /private/x.html refusal survives compaction
     assert fr.filter(F.col("state") == "QUEUED").count() == 0  # compacted
+
+
+def test_refused_reprobe_candidates(spark, tmp_path):
+    """REFUSED rows keep their url; the re-probe selector returns a
+    deterministic hash-sampled subset of them."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+
+    d = "reprobe.example.com"
+    links = [f"/private/x{k}.html" for k in range(40)] + ["/ok.html"]
+    rows = [
+        {
+            "domain": d, "path": "/", "param": None, "url": f"https://{d}/",
+            "status": 200, "redirect_to": None, "content_type": "text/html",
+            "image_id": None, "base_href": None, "links": links,
+            "feed_links": [], "body_marker": None, "etag": None,
+            "last_modified": None, "body_text": None,
+        },
+    ]
+    drows = [{
+        "domain": d, "top_domain": "example.com", "proto": "https",
+        "probe": "ok", "robots_txt": "User-agent: *\nDisallow: /private/\n",
+        "site_kind": "default", "crawl_depth": 100, "seed_urls": [],
+        "sitemap_urls": [], "generator_meta": "", "has_lemmy_config": False,
+    }]
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=ps)
+    doms = spark.createDataFrame(pd.DataFrame(drows), schema=ds)
+    eng = SparkCrawlEngine(spark, str(tmp_path / "rp"), seed=42, n_buckets=4)
+    eng.init_run(doms, doms.select("domain", "crawl_depth", "seed_urls"))
+    eng.run_waves(pages, wave_budget=None)
+
+    refused = eng.read_table("frontier").filter(F.col("state") == "REFUSED")
+    n_refused = refused.count()
+    assert n_refused == 40
+    assert refused.filter(F.col("url").isNull()).count() == 0  # urls retained
+
+    cand = eng.refused_reprobe_candidates(probe_fraction=0.1)
+    got = sorted(r["url"] for r in cand.collect())
+    assert 0 < len(got) < n_refused  # a strict, non-empty subset at n=40
+    # deterministic: same selection on re-read
+    again = sorted(r["url"] for r in eng.refused_reprobe_candidates(0.1).collect())
+    assert got == again
+    refused_urls = {r["url"] for r in refused.collect()}
+    assert set(got) <= refused_urls
