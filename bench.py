@@ -107,6 +107,14 @@ def main() -> None:
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
 
+    # warm-up: JVM/codegen spin-up and the serialized first Python-worker
+    # spawn otherwise land entirely on the first measured query
+    def _noop(it):
+        yield from it
+
+    spark.range(cpus * 2).repartition(cpus).mapInPandas(_noop, "id long").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = qmap[name](spark, sf_dir)
