@@ -3,17 +3,21 @@
 ``entry(spark)`` runs the flagship pipeline — a full synthetic-web crawl
 through the wave engine — at tiny scale and returns the crawl_data result.
 
-``queries()`` exposes every SURVEY.md §2 operator family that is
-expressible over the driver-provided tables, plus the training-data
-pipeline operators; ``oracle_sql()`` gives the DuckDB-checkable subset.
-Queries whose semantics cannot be expressed in ANSI SQL (the bit-exact
-URL hash, MinHash/SimHash near-dup, payload validation, the crawl itself)
-have no oracle entry → driver records the weaker rows-only check; their
-real correctness gates are the oracle-crawler equivalence tests in
-tests/ (python -m pytest -x -q).
+``queries()`` exposes every SURVEY.md §2 operator family plus the
+training-data pipeline operators; ``oracle_sql()`` covers 35 of the 37
+entries.  Non-SQL-expressible semantics get INDEPENDENT oracles instead
+of rows-only checks: ground-truth fixture exports + recursive-CTE
+closure for the crawl set/order gates, planted-outcome tables for
+recrawl retention, compiled-reference golden tables for the bit-exact
+URL hash, text-equality pair sets for the minhash/simhash dup pipelines
+(identical text ⇒ identical signature ⇒ exact recall), and declared
+per-row invariants for payload validation.  Only the two realistic
+NEAR-dup demos (`minhash_lsh_pairs`, `simhash_pairs`) stay rows-only —
+their exact-answer siblings (`*_dup_pairs`) certify the same plans.
 
-All oracle-checked queries return only ints/strings/decimals so the
-value-hash comparison is exact (doubles are rounded to fixed-point).
+All oracle-checked queries return only ints/strings so the value-hash
+comparison is exact (money/value aggregates are fixed-point BIGINT on
+both sides).
 """
 
 from __future__ import annotations
@@ -371,9 +375,19 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
+    """All three token counts: whitespace, BPE-ish pre-tokenizer pieces
+    (alnum runs + each non-alnum non-space char), and the 4-char subword
+    estimate.  The oracle re-derives each with RE2-compatible formulations
+    (DuckDB has no lookarounds, so piece count = alnum runs + stripped
+    length)."""
     from marginaliasearch_spark.operators.textstats import token_counts
 
-    return token_counts(_t(spark, sf_dir, "documents")).select("doc_id", "ws_tokens")
+    return token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "ws_tokens",
+        F.col("regex_pieces").cast("int").alias("bpe_pieces"),
+        F.col("subword_est").cast("int").alias("subword_est"),
+    )
 
 
 def q_quality_ratios(spark, sf_dir):
@@ -575,6 +589,66 @@ def q_crawl_visited_set(spark, sf_dir):
     return v.select("domain", "url").distinct()
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN through the shipping plan (centroid assignment + n_probe
+    nearest lists + exact re-rank) on the planted 12-copy cluster around
+    vec 0 — the copies assign to vec 0's centroid, so the probe set
+    contains the whole true neighborhood and the result equals the exact
+    top-10 (deterministic under the fixed seed)."""
+    from marginaliasearch_spark.operators.similarity import ivf_topk
+
+    base, _ = _planted_base(spark, sf_dir)
+    q = [
+        float(x)
+        for x in base.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    copies = spark.range(1, 13).select(
+        (F.col("id") + 200000).alias("vec_id"),
+        F.transform(
+            qarr,
+            lambda x: x
+            + F.lit(0.002) * F.col("id").cast("double") * F.sin(x * 1000 + F.col("id").cast("double")),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(copies)
+    return ivf_topk(aug, q, k=10, n_centroids=16, n_probe=4).select("vec_id")
+
+
+def q_crawl_visit_order(spark, sf_dir):
+    """Crawl ORDERING gate (north rule: reproduce the reference's crawl
+    ordering): the engine crawls branch+redirect fixture domains whose
+    FIFO + addFirst visit order is planted by construction; the oracle is
+    the planted (domain, rank, url) table.  Certifies the queue
+    discipline — BFS FIFO appends, redirect targets jumping the queue —
+    through the distributed wave path."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_order_export,
+        generate_order_web,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+
+    ensure_order_export()
+    pages_rows, domains_rows, _ = generate_order_web()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(pd.DataFrame(pages_rows), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    out_dir = tempfile.mkdtemp(prefix="msx_ord_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    # wave_budget=2 forces multi-wave execution: the order must survive
+    # frontier serialization/rehydration across snapshots
+    engine.run_waves(pages, wave_budget=2)
+    v = engine.read_table("visits")
+    w = Window.partitionBy("domain").orderBy("wave", "idx")
+    return v.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "domain", "rank", "url"
+    )
+
+
 def q_ip_admission(spark, sf_dir):
     """IP/Geo domain admission (IpBlockList.java:61-93, GeoIpBlocklist.java:
     19-42) as pure Column predicates over planted domain facts: .cn TLD,
@@ -727,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -737,13 +812,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_visited_set": q_crawl_visited_set,
         "recrawl_retention": q_recrawl_retention,
         "ip_admission": q_ip_admission,
+        "crawl_visit_order": q_crawl_visit_order,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from marginaliasearch_spark.sources.gate_web import (
         ensure_export,
+        ensure_order_export,
         ensure_recrawl_export,
+        order_oracle_sql,
         recrawl_oracle_sql,
     )
     from marginaliasearch_spark.sources.gate_web import oracle_sql as gate_oracle_sql
@@ -752,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
 
     gate_dir = ensure_export()
     rc_dir = ensure_recrawl_export()
+    ord_dir = ensure_order_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
     )
@@ -764,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_visited_set": gate_oracle_sql(gate_dir),
         "recrawl_retention": recrawl_oracle_sql(rc_dir),
+        "crawl_visit_order": order_oracle_sql(ord_dir),
         "doc_fingerprint": """
             SELECT doc_id, 1 AS copy_same FROM documents
         """,
@@ -977,7 +1057,15 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT doc_id,
                    CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                        x -> len(x) > 0)) AS INT) AS ws_tokens
+                        x -> len(x) > 0)) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+                        + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                        AS INT) AS bpe_pieces,
+                   CAST(coalesce(list_sum(list_transform(
+                        list_filter(string_split_regex(text, '\\s+'),
+                                    x -> len(x) > 0),
+                        x -> CAST(ceil(len(x) / 4.0) AS INT))), 0)
+                        AS INT) AS subword_est
             FROM documents
         """,
         "quality_ratios": """
@@ -1086,6 +1174,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         """,
         "ann_cosine_topk_lsh": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings),
+            cop AS (
+                SELECT c + 200000 AS vec_id,
+                       list_transform(
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                            WHERE vec_id = 0),
+                           x -> x + 0.002 * c * sin(x * 1000 + c)) AS embedding
+                FROM generate_series(1, 12) t(c)),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM cop),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+                  WHERE vec_id = 0)
+            SELECT vec_id FROM allv, q
+            ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_topk": """
             WITH base AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
                 FROM embeddings),

@@ -438,3 +438,87 @@ def ensure_recrawl_export(export_dir: str = RECRAWL_EXPORT_DIR) -> str:
 def recrawl_oracle_sql(export_dir: str = RECRAWL_EXPORT_DIR) -> str:
     p = os.path.join(export_dir, "gw_recrawl.parquet")
     return f"SELECT domain, url, outcome FROM read_parquet('{p}')"
+
+
+# ---------------------------------------------------------------------------
+# Crawl-ORDER gate fixture: the north rule requires reproducing the
+# reference's crawl ordering, not just the visited set.  Each domain is a
+# small branch+redirect shape whose FIFO + addFirst order is known by
+# construction (DomainCrawlFrontier queue discipline:
+# take_next=popleft, links appended, redirect targets addFirst —
+# CrawlerRetreiver.java:fetchContentWithReference ResultRedirect arm):
+#
+#   /    → links /a, /b          visit 1
+#   /a   → links /c              visit 2
+#   /b   → 301 → /e              visit 3  (e jumps the queue: addFirst)
+#   /e   → links /f              visit 4
+#   /c   → (leaf)                visit 5
+#   /f   → (leaf)                visit 6
+# ---------------------------------------------------------------------------
+
+ORDER_N_DOMAINS = 6
+ORDER_EXPORT_DIR = os.path.join(tempfile.gettempdir(), "msx_gate_order_v1")
+
+
+def generate_order_web():
+    """Returns (pages_rows, domains_rows, expected_rows) — expected_rows is
+    the planted (domain, rank, url) visit order."""
+    pages_rows, domains_rows, expected_rows = [], [], []
+    for i in range(ORDER_N_DOMAINS):
+        name = f"ord{i}.example.org"
+        domains_rows.append(
+            {
+                "domain": name, "top_domain": "example.org", "proto": "https",
+                "probe": "ok", "robots_txt": None, "site_kind": "default",
+                "crawl_depth": 10_000, "seed_urls": [], "sitemap_urls": [],
+                "generator_meta": "", "has_lemmy_config": False,
+            }
+        )
+
+        def page(path, links=(), status=200, redirect_to=None):
+            pages_rows.append(
+                {
+                    "domain": name, "path": path, "param": None,
+                    "url": f"https://{name}{path}", "status": status,
+                    "redirect_to": redirect_to, "content_type": "text/html",
+                    "image_id": None, "base_href": None, "links": list(links),
+                    "feed_links": [], "body_marker": None, "etag": None,
+                    "last_modified": None, "body_text": None,
+                }
+            )
+
+        page("/", links=["/a.html", "/b.html"])
+        page("/a.html", links=["/c.html"])
+        page("/b.html", status=301, redirect_to=f"https://{name}/e.html")
+        page("/c.html")
+        page("/e.html", links=["/f.html"])
+        page("/f.html")
+        order = ["/", "/a.html", "/b.html", "/e.html", "/c.html", "/f.html"]
+        for rank, path in enumerate(order, start=1):
+            expected_rows.append(
+                {"domain": name, "rank": rank, "url": f"https://{name}{path}"}
+            )
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_order_export(export_dir: str = ORDER_EXPORT_DIR) -> str:
+    import pandas as pd
+
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    _, _, expected = generate_order_web()
+    tmp = tempfile.mkdtemp(prefix="msx_ord_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_order.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, export_dir)
+    except OSError:
+        pass
+    return export_dir
+
+
+def order_oracle_sql(export_dir: str = ORDER_EXPORT_DIR) -> str:
+    p = os.path.join(export_dir, "gw_order.parquet")
+    return f"SELECT domain, rank, url FROM read_parquet('{p}')"
