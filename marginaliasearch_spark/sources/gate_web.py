@@ -42,7 +42,15 @@ import numpy as np
 
 GATE_SEED = 7
 N_DOMAINS = 10
-EXPORT_DIR = os.path.join(tempfile.gettempdir(), "msx_gate_export_v1")
+
+
+def _fingerprinted_dir(tag: str, rows) -> str:
+    """Export dir keyed by a content fingerprint of the ground-truth rows —
+    a fixture change can never silently reuse a stale /tmp export."""
+    import hashlib
+
+    h = hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"msx_{tag}_{h}")
 
 _EXCLUDED = frozenset({5, 6, 7})  # probe-error, probe-redirect, robots-blocked
 
@@ -222,15 +230,19 @@ def gate_web_frames():
     return pd.DataFrame(pages_rows), pd.DataFrame(domains_rows)
 
 
-def ensure_export(export_dir: str = EXPORT_DIR) -> str:
+def ensure_export(export_dir: str | None = None) -> str:
     """Write the ground-truth facts as parquet (atomic, idempotent —
-    content is deterministic so concurrent writers produce identical files)."""
+    content is deterministic so concurrent writers produce identical files;
+    the dir name carries a content fingerprint so fixture edits can never
+    hit a stale export)."""
     import pandas as pd
 
+    _, _, gw_domains, gw_links = generate_gate_web()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("gate", (gw_domains, gw_links))
     marker = os.path.join(export_dir, "_COMPLETE")
     if os.path.exists(marker):
         return export_dir
-    _, _, gw_domains, gw_links = generate_gate_web()
     tmp = tempfile.mkdtemp(prefix="msx_gate_tmp_")
     pd.DataFrame(gw_domains).to_parquet(os.path.join(tmp, "gw_domains.parquet"))
     pd.DataFrame(gw_links).to_parquet(os.path.join(tmp, "gw_links.parquet"))
@@ -243,7 +255,7 @@ def ensure_export(export_dir: str = EXPORT_DIR) -> str:
     return export_dir
 
 
-def oracle_sql(export_dir: str = EXPORT_DIR) -> str:
+def oracle_sql(export_dir: str) -> str:
     """The independent DuckDB oracle: recursive reachability closure over
     the ground-truth link facts with the admission gates mirrored as plain
     SQL predicates.  Shares no code with the engine."""
@@ -414,16 +426,15 @@ def generate_recrawl_fixture():
     return pages_rows, domains_rows, prev_rows, expected_rows
 
 
-RECRAWL_EXPORT_DIR = os.path.join(tempfile.gettempdir(), "msx_gate_recrawl_v1")
-
-
-def ensure_recrawl_export(export_dir: str = RECRAWL_EXPORT_DIR) -> str:
+def ensure_recrawl_export(export_dir: str | None = None) -> str:
     import pandas as pd
 
+    _, _, _, expected = generate_recrawl_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("recrawl", expected)
     marker = os.path.join(export_dir, "_COMPLETE")
     if os.path.exists(marker):
         return export_dir
-    _, _, _, expected = generate_recrawl_fixture()
     tmp = tempfile.mkdtemp(prefix="msx_rc_tmp_")
     pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_recrawl.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
@@ -435,7 +446,7 @@ def ensure_recrawl_export(export_dir: str = RECRAWL_EXPORT_DIR) -> str:
     return export_dir
 
 
-def recrawl_oracle_sql(export_dir: str = RECRAWL_EXPORT_DIR) -> str:
+def recrawl_oracle_sql(export_dir: str) -> str:
     p = os.path.join(export_dir, "gw_recrawl.parquet")
     return f"SELECT domain, url, outcome FROM read_parquet('{p}')"
 
@@ -457,7 +468,6 @@ def recrawl_oracle_sql(export_dir: str = RECRAWL_EXPORT_DIR) -> str:
 # ---------------------------------------------------------------------------
 
 ORDER_N_DOMAINS = 6
-ORDER_EXPORT_DIR = os.path.join(tempfile.gettempdir(), "msx_gate_order_v1")
 
 
 def generate_order_web():
@@ -501,13 +511,15 @@ def generate_order_web():
     return pages_rows, domains_rows, expected_rows
 
 
-def ensure_order_export(export_dir: str = ORDER_EXPORT_DIR) -> str:
+def ensure_order_export(export_dir: str | None = None) -> str:
     import pandas as pd
 
+    _, _, expected = generate_order_web()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("order", expected)
     marker = os.path.join(export_dir, "_COMPLETE")
     if os.path.exists(marker):
         return export_dir
-    _, _, expected = generate_order_web()
     tmp = tempfile.mkdtemp(prefix="msx_ord_tmp_")
     pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_order.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
@@ -519,6 +531,6 @@ def ensure_order_export(export_dir: str = ORDER_EXPORT_DIR) -> str:
     return export_dir
 
 
-def order_oracle_sql(export_dir: str = ORDER_EXPORT_DIR) -> str:
+def order_oracle_sql(export_dir: str) -> str:
     p = os.path.join(export_dir, "gw_order.parquet")
     return f"SELECT domain, rank, url FROM read_parquet('{p}')"
