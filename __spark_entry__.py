@@ -479,14 +479,11 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b")
 
 
-def q_ann_cosine_topk_lsh(spark, sf_dir):
-    """ANN top-10 through the SHIPPING plan — multi-probe sign-LSH prune +
-    exact re-rank (cosine_topk_lsh).  A planted 12-copy cluster around
-    vec 0 is the true neighborhood; the oracle re-derives the same top-10
-    exactly (the copies' signatures sit within the probe radius with
-    near-certainty at this cosine, deterministic under the fixed seed)."""
-    from marginaliasearch_spark.operators.similarity import cosine_topk_lsh
-
+def _planted_cluster(spark, sf_dir):
+    """(aug, q): the embeddings (as double) plus a 12-copy perturbed
+    cluster around vec 0, and vec 0's vector as the query — the shared
+    planted fixture of the LSH/IVF ANN gates (the DuckDB oracles build
+    the identical cluster)."""
     base, _ = _planted_base(spark, sf_dir)
     q = [
         float(x)
@@ -501,7 +498,18 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
             + F.lit(0.002) * F.col("id").cast("double") * F.sin(x * 1000 + F.col("id").cast("double")),
         ).alias("embedding"),
     )
-    aug = base.unionByName(copies)
+    return base.unionByName(copies), q
+
+
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    """ANN top-10 through the SHIPPING plan — multi-probe sign-LSH prune +
+    exact re-rank (cosine_topk_lsh) on the planted cluster; the oracle
+    re-derives the same top-10 exactly (the copies' signatures sit within
+    the probe radius with near-certainty at this cosine, deterministic
+    under the fixed seed)."""
+    from marginaliasearch_spark.operators.similarity import cosine_topk_lsh
+
+    aug, q = _planted_cluster(spark, sf_dir)
     return cosine_topk_lsh(aug, q, k=10, n_planes=12, probe_hamming=2).select("vec_id")
 
 
@@ -591,27 +599,11 @@ def q_crawl_visited_set(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN through the shipping plan (centroid assignment + n_probe
-    nearest lists + exact re-rank) on the planted 12-copy cluster around
-    vec 0 — the copies assign to vec 0's centroid, so the probe set
-    contains the whole true neighborhood and the result equals the exact
-    top-10 (deterministic under the fixed seed)."""
+    nearest lists + exact re-rank) on the same planted cluster — equals
+    the exact top-10 (deterministic under the fixed seed)."""
     from marginaliasearch_spark.operators.similarity import ivf_topk
 
-    base, _ = _planted_base(spark, sf_dir)
-    q = [
-        float(x)
-        for x in base.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    ]
-    qarr = F.array(*[F.lit(float(x)) for x in q])
-    copies = spark.range(1, 13).select(
-        (F.col("id") + 200000).alias("vec_id"),
-        F.transform(
-            qarr,
-            lambda x: x
-            + F.lit(0.002) * F.col("id").cast("double") * F.sin(x * 1000 + F.col("id").cast("double")),
-        ).alias("embedding"),
-    )
-    aug = base.unionByName(copies)
+    aug, q = _planted_cluster(spark, sf_dir)
     return ivf_topk(aug, q, k=10, n_centroids=16, n_probe=4).select("vec_id")
 
 

@@ -102,3 +102,16 @@ def is_content_body_same(a, b) -> bool:
 
 def is_hash_same(lsh_a: int, lsh_b: int) -> bool:
     return hamming(lsh_a, lsh_b) < SAME_HAMMING_LIMIT
+
+
+def content_hash_signed(body) -> int:
+    """Fingerprint as a signed 64-bit int for LongType storage, with 0
+    remapped to 1: the storage layer reserves 0 as the 'absent' sentinel
+    (nullable int64 decays to float64 through Arrow→pandas and corrupts
+    hashes), and an empty/all-markup body legitimately hashes to 0.  The
+    remap costs hamming distance ≤1 — well inside the <4 same-document
+    band, so retention decisions are unaffected."""
+    h = content_hash(body)
+    if h == 0:
+        h = 1
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -47,6 +47,24 @@ from pyspark.sql import types as T
 _K = 7  # probes per key
 _BITS_PER_KEY = 12
 
+# persisted intermediates awaiting release (bloom_anti_join persists its
+# probe output because two consumers read it; long-lived callers release
+# them after materializing the result)
+_TRANSIENT: list = []
+
+
+def unpersist_transients() -> None:
+    """Release persisted probe intermediates from prior bloom_anti_join
+    calls.  Call after the join's result is materialized (written or
+    collected) — FrontierDedup.ingest does this every snapshot so a
+    long-running admission loop doesn't accumulate cached blocks."""
+    while _TRANSIENT:
+        df = _TRANSIENT.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
 
 def _positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
     """k probe positions per key via double hashing (vectorized).
@@ -212,6 +230,7 @@ def bloom_anti_join(
         .applyInPandas(probe, flagged_schema)
         .persist()  # two consumers below — probe exactly once
     )
+    _TRANSIENT.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
 

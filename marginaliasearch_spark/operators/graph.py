@@ -47,20 +47,25 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
+    cached: list = []
     for i in range(iterations):
+        # ranks is referenced exactly ONCE per iteration (the contribs
+        # join) so the lazy plan grows linearly, not 2^k, between
+        # checkpoints.  The dangling mass needs no second pass:
+        # Σ_dst in_rank = Σ_src rank/out_degree · out_degree = the total
+        # rank of nodes WITH out-links, so linked_mass falls out of the
+        # contribs aggregate itself (broadcast 1-row, no driver collect).
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .join(out_deg, "src")
             .select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_rank"))
+            .persist()  # two consumers (join + mass agg); tiny: ≤ |nodes| rows
         )
-        # dangling mass folded in as a broadcast 1-row aggregate — no
-        # driver collect, no extra job per iteration (everything stays in
-        # the lazy plan until the periodic checkpoint cuts it)
-        linked = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("linked_mass"))
+        cached.append(contribs)
+        linked = contribs.agg(
+            F.coalesce(F.sum("in_rank"), F.lit(0.0)).alias("linked_mass")
         )
         base = (
             F.lit(1.0 - damping)
@@ -78,6 +83,12 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()  # cut lineage: plans stay flat
+            for c in cached:
+                c.unpersist()
+            cached = []
+    ranks = ranks.localCheckpoint()  # materialize before releasing caches
+    for c in cached:
+        c.unpersist()
     return ranks
 
 

@@ -57,11 +57,11 @@ REFUSED = "REFUSED"
 
 
 def _lsh64_signed(body: str) -> int:
-    """EasyLSH content fingerprint as a signed 64-bit int (LongType-safe)."""
-    from ..canon.easylsh import content_hash
+    """EasyLSH content fingerprint as a signed 64-bit int (LongType-safe;
+    0 reserved as the storage 'absent' sentinel — canon/easylsh.py)."""
+    from ..canon.easylsh import content_hash_signed
 
-    h = content_hash(body)
-    return h - (1 << 64) if h >= (1 << 63) else h
+    return content_hash_signed(body)
 
 
 class WebLike(Protocol):

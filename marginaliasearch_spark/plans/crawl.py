@@ -796,22 +796,47 @@ class SparkCrawlEngine:
 
     def refused_reprobe_candidates(self, probe_fraction: float = 0.1) -> DataFrame:
         """The refused-re-probe input for the NEXT cycle: a deterministic
-        hash-sampled fraction of the persisted REFUSED urls ("to permit
+        hash-sampled fraction of this run's robots refusals ("to permit
         circumstances to change over time, we'll allow for a small chance
         of re-probing" — CrawlerWarcResynchronizer.java:70-78; seeded hash
-        instead of Math.random, the repo-wide determinism pin).  Feed the
-        result as ``atags_df`` (with a ``pos`` column) into the next
-        cycle's run_waves."""
+        instead of Math.random, the repo-wide determinism pin).
+
+        Refusal lineage comes from BOTH stores: frontier REFUSED rows
+        (never-fetched refusals) and fetch_log REFUSED_ROBOTS actions
+        (covers recrawl-time refusals of previously-visited URLs, whose
+        frontier state stays VISITED to keep the seen-set exact).  The
+        result is directly usable as the next cycle's ``atags_df``
+        (domain, pos, url)."""
+        from pyspark.sql import Window
+
         fr = self._read("frontier")
-        if fr is None:
-            return None
-        return (
-            fr.filter((F.col("state") == "REFUSED") & F.col("url").isNotNull())
+        log = self._read("fetch_log")
+        parts = []
+        if fr is not None:
+            parts.append(
+                fr.filter(
+                    (F.col("state") == "REFUSED") & F.col("url").isNotNull()
+                ).select("domain", "url")
+            )
+        if log is not None:
+            parts.append(
+                log.filter(F.col("action") == "REFUSED_ROBOTS").select("domain", "url")
+            )
+        if not parts:
+            return self.spark.createDataFrame([], "domain string, pos long, url string")
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        sampled = (
+            cand.dropDuplicates(["url"])
             .filter(
                 F.pmod(F.xxhash64("url", F.lit(self.seed)), F.lit(1000))
                 < int(probe_fraction * 1000)
             )
-            .select("domain", "url")
+        )
+        w = Window.partitionBy("domain").orderBy("url")
+        return sampled.withColumn("pos", F.row_number().over(w).cast("long")).select(
+            "domain", "pos", "url"
         )
 
     def dedup_metrics(self) -> DataFrame:

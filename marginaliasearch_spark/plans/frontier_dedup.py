@@ -70,9 +70,21 @@ class FrontierDedup:
     def _load(self) -> dict:
         n = self.latest_snapshot()
         if n is None:
-            return {"snapshot": -1, "seen_paths": [], "blooms_path": None}
+            return {
+                "snapshot": -1,
+                "seen_paths": [],
+                "blooms_path": None,
+                "n_buckets": self.n_buckets,
+                "m_bits": self.m_bits,
+            }
         with open(self._manifest_path(n)) as f:
-            return json.load(f)
+            m = json.load(f)
+        # the bucket layout is a property of the PERSISTED table, not the
+        # instance: adopt it, or probes would hit the wrong buckets' filters
+        # and re-admit seen URLs (Bloom false negatives by misconfiguration)
+        self.n_buckets = int(m.get("n_buckets", self.n_buckets))
+        self.m_bits = int(m.get("m_bits", self.m_bits))
+        return m
 
     def seen(self) -> Optional[DataFrame]:
         m = self._load()
@@ -110,6 +122,10 @@ class FrontierDedup:
         accepted.write.mode("overwrite").parquet(apath)
         accepted_w = self.spark.read.parquet(apath)
 
+        from ..operators.bloom import unpersist_transients
+
+        unpersist_transients()  # the probe intermediate is materialized now
+
         new_keys = accepted_w.select("bucket", self.key_col)
         bpath = os.path.join(self.root, f"blooms-{snap:06d}")
         if blooms is None:
@@ -127,6 +143,8 @@ class FrontierDedup:
             "snapshot": snap,
             "seen_paths": m["seen_paths"] + [spath],
             "blooms_path": bpath,
+            "n_buckets": self.n_buckets,
+            "m_bits": self.m_bits,
         }
         tmp = self._manifest_path(snap) + ".tmp"
         with open(tmp, "w") as f:

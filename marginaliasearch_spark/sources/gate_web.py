@@ -346,11 +346,7 @@ def generate_recrawl_fixture():
     image_id, etag, last_modified, lsh64).
     expected_rows: planted truth (domain, url, outcome).
     """
-    from ..canon.easylsh import content_hash
-
-    def lsh_signed(body):
-        h = content_hash(body)
-        return h - (1 << 64) if h >= (1 << 63) else h
+    from ..canon.easylsh import content_hash_signed as lsh_signed
 
     pages_rows, domains_rows, prev_rows, expected_rows = [], [], [], []
     for i in range(RC_N_DOMAINS):

@@ -80,3 +80,10 @@ def test_rows_only_queries_run(spark, name):
     df = qfn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    """The driver's entry() smoke contract: runs, ≥0 rows, stable schema."""
+    df = entry_mod.entry(spark)
+    assert df.columns == ["domain", "url", "http_status", "content_type", "image_id"]
+    assert df.count() > 0
