@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--wave-budget", type=int, default=None)
     ap.add_argument("--group-key", choices=["domain", "top_domain"], default="domain")
     ap.add_argument("--validate-inline", action="store_true")
+    ap.add_argument(
+        "--max-run-seconds", type=float, default=None,
+        help="timed-run wall budget (TimedRun, default unbounded; the "
+        "reference defaults to 7 days)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,12 +60,15 @@ def main() -> None:
     t0 = time.perf_counter()
     engine.init_run(domains, specs)
     waves = engine.run_waves(
-        pages, wave_budget=args.wave_budget, group_key=args.group_key
+        pages,
+        wave_budget=args.wave_budget,
+        group_key=args.group_key,
+        deadline_s=args.max_run_seconds,
     )
     visited = engine.read_table("visits").count()
     seen = (
         engine.read_table("frontier")
-        .filter(F.col("state").isin("VISITED", "KNOWN"))
+        .filter(F.col("state").isin("VISITED", "KNOWN", "REFUSED"))
         .count()
     )
     wall = time.perf_counter() - t0
