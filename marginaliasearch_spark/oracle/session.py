@@ -139,6 +139,7 @@ class DomainCrawlSession:
         self.recrawl_recrawled = 0
         self.recrawl_retained = 0
         self.recrawl_skipped = 0
+        self.feed_url: Optional[str] = None  # discovered feed (DomainStateDb)
 
         # per-wave output buffers (drained by the caller)
         self.new_crawl_data: list[dict] = []
@@ -364,7 +365,7 @@ class DomainCrawlSession:
             self._enqueue_links(root_url, page)
             self._record(page, root_url)
 
-            self._discover_feed(root_url, page)
+            self.feed_url = self._discover_feed(root_url, page)
             favicon_url = root_url.with_path_and_param("/favicon.ico", None)
             if self.rules.is_allowed(str(favicon_url)):
                 fav = self._fetch(favicon_url)
@@ -633,6 +634,7 @@ class DomainCrawlSession:
                 "recrawl_recrawled": self.recrawl_recrawled,
                 "recrawl_retained": self.recrawl_retained,
                 "recrawl_skipped": self.recrawl_skipped,
+                "feed_url": self.feed_url,
                 "clock_ms": self.timer.clock_ms,
                 "slow_down": self.timer.slow_down,
                 "crawl_delay_ms": self.rules.crawl_delay_ms,
@@ -662,6 +664,7 @@ class DomainCrawlSession:
         sess.recrawl_recrawled = st.get("recrawl_recrawled", 0)
         sess.recrawl_retained = st.get("recrawl_retained", 0)
         sess.recrawl_skipped = st.get("recrawl_skipped", 0)
+        sess.feed_url = st.get("feed_url")
         sess.rules = RobotRules.from_dict(st["robots"])
         sess.timer = Timer(st["crawl_delay_ms"], clock_ms=st["clock_ms"], slow_down=st["slow_down"])
 

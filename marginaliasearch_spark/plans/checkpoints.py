@@ -27,10 +27,13 @@ import os
 import shutil
 from typing import Optional
 
-APPEND_TABLES = ("wave_out", "wave_offsets")  # unified append log +
-# token-budget offsets side table; crawl_data/fetch_log/visits are
-# row_kind-filtered views over wave_out (one physical write per wave)
-REPLACE_TABLES = ("domain_state",)
+APPEND_TABLES = ("wave_out",)  # unified append log; crawl_data/fetch_log/
+# visits are row_kind-filtered views over it (one physical write per wave)
+REPLACE_TABLES = ("domain_state", "wave_offsets")
+# wave_offsets is REPLACED: the token-budget schedule is recomputed each
+# wave from cumulative per-domain durations (one offset per domain for
+# the whole run — the reference's semaphore is held for a domain's entire
+# crawl), so only the latest table is live
 # the frontier is tracked per bucket (manifest key "frontier_buckets") —
 # Iceberg partition-overwrite semantics: a wave only rewrites dirty buckets
 
@@ -45,6 +48,14 @@ class SnapshotCatalog:
 
     def _snap_path(self, n: int) -> str:
         return os.path.join(self.snap_dir, f"snap-{n:06d}.json")
+
+    def reset(self) -> None:
+        """Forget all committed snapshots (init_run starts a NEW run).
+        Without this, commit(0) would merge with a leftover run's latest
+        manifest — snapshot 0 claiming old waves' data as live."""
+        for f in os.listdir(self.snap_dir):
+            if f.startswith("snap-") and f.endswith(".json"):
+                os.remove(os.path.join(self.snap_dir, f))
 
     def latest_snapshot(self) -> Optional[int]:
         snaps = [

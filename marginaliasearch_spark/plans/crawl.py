@@ -347,10 +347,26 @@ class SparkCrawlEngine:
         validate_inline: bool = False,
     ):
         self.spark = spark
+        self.out_dir = out_dir
         self.catalog = SnapshotCatalog(out_dir)
         self.seed = seed
         self.n_buckets = n_buckets
         self.validate_inline = validate_inline
+        # the bucket layout is a property of the PERSISTED run, not the
+        # instance: a resume engine constructed with a different n_buckets
+        # would re-derive wrong bucket keys and corrupt the frontier COW
+        self._ctor_n_buckets, self._ctor_seed = n_buckets, seed
+        cfg = os.path.join(out_dir, "engine.json")
+        if os.path.exists(cfg):
+            with open(cfg) as f:
+                persisted = json.load(f)
+            self.n_buckets = int(persisted.get("n_buckets", n_buckets))
+            self.seed = int(persisted.get("seed", seed))
+
+    def _write_engine_config(self) -> None:
+        cfg = os.path.join(self.out_dir, "engine.json")
+        with open(cfg, "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "seed": self.seed}, f)
 
     # -- helpers ---------------------------------------------------------
 
@@ -370,11 +386,12 @@ class SparkCrawlEngine:
             )
             offp = self.catalog.paths("wave_offsets")
             if v is not None and offp:
-                # token-budget offsets (top_domain mode): shift the audit
-                # trail by each domain's per-wave schedule start
+                # token-budget offsets (top_domain mode): ONE offset per
+                # domain for the whole run (latest replaced table), shifting
+                # the audit trail by the domain's semaphore-grant time
                 off = self.spark.read.parquet(*offp)
                 v = (
-                    v.join(F.broadcast(off), ["domain", "wave"], "left")
+                    v.join(F.broadcast(off), ["domain"], "left")
                     .withColumn(
                         "virtual_ms",
                         F.col("virtual_ms") + F.coalesce(F.col("offset_ms"), F.lit(0)),
@@ -448,7 +465,21 @@ class SparkCrawlEngine:
             F.col("domain").substr(F.lit(1), F.length(F.col("domain")) - F.length(top) - 1)
         )
         if ip_facts_df is not None:
-            joined = joined.join(F.broadcast(ip_facts_df), "domain", "left")
+            # deterministic single fact per domain (a multi-homed host with
+            # several fact rows must not make admission partition-order
+            # dependent): keep the lexicographic minimum
+            ip_one = ip_facts_df.groupBy("domain").agg(
+                F.min(F.struct(*[c for c in ip_facts_df.columns if c != "domain"])).alias("_f")
+            )
+            ip_one = ip_one.select(
+                "domain",
+                *[
+                    F.col(f"_f.{c}").alias(c)
+                    for c in ip_facts_df.columns
+                    if c != "domain"
+                ],
+            )
+            joined = joined.join(F.broadcast(ip_one), "domain", "left")
             country = F.col("country")
             ip_int = F.col("ip_int") if "ip_int" in ip_facts_df.columns else F.lit(None)
         else:
@@ -499,6 +530,12 @@ class SparkCrawlEngine:
             )
             .dropDuplicates(["domain"])  # duplicate specs dedup (CrawlerMain:550-552)
         )
+        # init starts a NEW run: forget any leftover snapshots (commit(0)
+        # would otherwise merge with a previous run's latest manifest) and
+        # pin this run's bucket layout for future resume engines
+        self.catalog.reset()
+        self.n_buckets, self.seed = self._ctor_n_buckets, self._ctor_seed
+        self._write_engine_config()
         path = self.catalog.wave_path("domain_state", 0)
         ds.write.mode("overwrite").parquet(path)
         self.catalog.commit(0, {"domain_state": path})
@@ -566,8 +603,15 @@ class SparkCrawlEngine:
             wave = manifest["wave"] + 1
 
             domain_state = self._read("domain_state")
-            active = domain_state.filter(F.col("phase").isin("pending", "active"))
+            # active is consumed by ~6 downstream plans this wave (left
+            # build, frontier semi-join, pages semi-join, dirty collect,
+            # terminal anti-join) — cache it so each doesn't re-scan the
+            # domain_state parquet
+            active = domain_state.filter(
+                F.col("phase").isin("pending", "active")
+            ).persist()
             if active.isEmpty():
+                active.unpersist()
                 break
 
             left = active.select(
@@ -673,39 +717,6 @@ class SparkCrawlEngine:
             table_paths: dict[str, Optional[str]] = {"wave_out": opath}
             out_w = self.spark.read.parquet(opath)
 
-            if group_key == "top_domain":
-                # token-budget post-pass: per-top-domain greedy schedule of
-                # this wave's per-domain durations → (domain, offset_ms)
-                clk = lambda c: F.coalesce(
-                    F.get_json_object(c, "$.clock_ms").cast("long"), F.lit(0)
-                )
-                prev_clk = active.select(
-                    "domain", clk(F.col("state_json")).alias("clock0")
-                )
-                new_clk = (
-                    out_w.filter(F.col("row_kind") == "domain_state")
-                    .select("domain", clk(F.col("state_json")).alias("clock1"))
-                )
-                durs = (
-                    new_clk.join(prev_clk, "domain")
-                    .join(
-                        F.broadcast(domain_state.select("domain", "top_domain")),
-                        "domain",
-                    )
-                    .select(
-                        "top_domain",
-                        "domain",
-                        (F.col("clock1") - F.col("clock0")).alias("dur_ms"),
-                    )
-                )
-                offsets = durs.groupBy("top_domain").applyInPandas(
-                    _make_offsets_fn(), OFFSETS_SCHEMA
-                )
-                offpath = self.catalog.wave_path("wave_offsets", wave)
-                offsets.withColumn("wave", F.lit(wave)).write.mode(
-                    "overwrite"
-                ).parquet(offpath)
-                table_paths["wave_offsets"] = offpath
 
             # frontier: per-bucket COW (Iceberg partition-overwrite).  Only
             # buckets containing an active domain are rewritten; rows of
@@ -723,8 +734,15 @@ class SparkCrawlEngine:
                 .collect()
             )
             if frontier is not None:
+                # carry forward dirty-bucket rows of every domain that did
+                # NOT emit replacement rows this wave — inactive domains
+                # sharing the bucket, and faulted domains (the per-domain
+                # error barrier emits only a domain_state row; dropping
+                # their rows would erase the accumulated seen/REFUSED
+                # lineage)
+                replaced = new_frontier.select("domain").distinct()
                 carry = frontier.filter(F.col("bucket").isin(dirty)).join(
-                    active.select("domain"), "domain", "left_anti"
+                    F.broadcast(replaced), "domain", "left_anti"
                 )
                 new_frontier = carry.select(*new_frontier.columns).unionByName(
                     new_frontier
@@ -750,7 +768,34 @@ class SparkCrawlEngine:
             new_ds.write.mode("overwrite").parquet(dpath)
             table_paths["domain_state"] = dpath
 
+            if group_key == "top_domain":
+                # Token-budget schedule, recomputed each wave from the
+                # CUMULATIVE per-domain durations and REPLACED: one offset
+                # per domain for the whole run — the reference's semaphore
+                # is held for a domain's entire crawl, so per-wave
+                # scheduling would both violate the permits invariant and
+                # break per-domain clock monotonicity across waves.
+                durs = (
+                    self.spark.read.parquet(dpath)
+                    .select(
+                        "top_domain",
+                        "domain",
+                        F.coalesce(
+                            F.get_json_object("state_json", "$.clock_ms").cast("long"),
+                            F.lit(0),
+                        ).alias("dur_ms"),
+                    )
+                    .filter(F.col("dur_ms") > 0)  # never-started domains hold no slot
+                )
+                offsets = durs.groupBy("top_domain").applyInPandas(
+                    _make_offsets_fn(), OFFSETS_SCHEMA
+                )
+                offpath = self.catalog.wave_path("wave_offsets", wave)
+                offsets.write.mode("overwrite").parquet(offpath)
+                table_paths["wave_offsets"] = offpath
+
             self.catalog.commit(wave, table_paths, frontier_buckets=frontier_buckets)
+            active.unpersist()
             waves_done += 1
 
             # early exit: if this wave left no active domains, skip the
@@ -839,10 +884,12 @@ class SparkCrawlEngine:
             "domain", "pos", "url"
         )
 
-    def dedup_metrics(self) -> DataFrame:
+    def dedup_metrics(self) -> Optional[DataFrame]:
         """Fetch/dedup metrics per domain: URLs seen (KNOWN+REFUSED+VISITED),
         visited, still queued, robots refusals, fetch attempts."""
         fr = self._read("frontier")
+        if fr is None:
+            return None
         agg = fr.groupBy("domain").agg(
             F.sum(F.when(F.col("state") == "VISITED", 1).otherwise(0)).alias("n_visited"),
             F.sum(
@@ -887,6 +934,7 @@ class SparkCrawlEngine:
             .cast("long")
             .alias("recrawl_skipped"),
             F.get_json_object("state_json", "$.clock_ms").cast("long").alias("crawl_time_ms"),
+            F.get_json_object("state_json", "$.feed_url").alias("feed_url"),
         )
         cd = self._read("crawl_data")
         if cd is not None:

@@ -33,12 +33,17 @@ from .frontier_dedup import FrontierDedup
 
 def discovered_cross_domain(edges: DataFrame) -> DataFrame:
     """Canonicalized cross-domain link targets from an edges table:
-    (domain, url, url_hash, pos) — domain is the TARGET domain; pos is a
-    deterministic first-seen order key."""
+    (domain, url, url_hash, n_referrers) — domain is the TARGET domain.
+
+    The engine's edges view already carries the crawling (source) domain
+    as its ``domain`` column, so only the DST side goes through the
+    canonicalize UDF — no second Arrow/Python pass over src URLs."""
     c = canonicalize(F.col("dst"))
-    src_c = canonicalize(F.col("src"))
+    src_domain = (
+        F.col("domain") if "domain" in edges.columns else canonicalize(F.col("src"))["domain"]
+    )
     out = edges.select(
-        src_c["domain"].alias("src_domain"),
+        src_domain.alias("src_domain"),
         c["domain"].alias("domain"),
         c["url_canon"].alias("url"),
         c["url_hash"].alias("url_hash"),

@@ -62,7 +62,7 @@ def validate_payloads(corpus: DataFrame, seed: int = 42, psnr_min: float = 40.0)
                 want_caption = make_caption(seed, idx)
                 try:
                     arr, fmt = decode_image(bytes(pdf["bytes"].iloc[i]))
-                except (ValueError, Exception):
+                except Exception:
                     continue
                 out["decode_ok"][i] = True
                 p = psnr(src, arr)

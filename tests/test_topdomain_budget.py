@@ -163,3 +163,50 @@ def test_hundred_member_topdomain_budget_and_parallelism(spark, tmp_path):
     dstart = log.groupby("domain")["virtual_ms"].min()
     assert dstart.min() >= 0
     assert (dstart > 10_000).any()  # later members genuinely queued behind permits
+
+
+def test_multiwave_budget_offsets_consistent(spark, tmp_path):
+    """wave_budget + top_domain mode: the offsets table is recomputed from
+    CUMULATIVE durations and replaced (one offset per domain for the run),
+    so the shifted audit trail stays monotonic per domain and the permit
+    schedule holds across waves."""
+    web, _ = generate_web(seed=SEED, n_domains=12, mean_pages=10)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+
+    e = SparkCrawlEngine(spark, str(tmp_path / "mw"), seed=SEED, n_buckets=4)
+    e.init_run(domains, specs)
+    waves = e.run_waves(pages, wave_budget=4, group_key="top_domain")
+    assert waves > 2  # genuinely multi-wave
+
+    log = e.read_table("fetch_log").toPandas()
+    # per-domain shifted trail is monotone in (wave, idx) order
+    for d, grp in log.sort_values(["wave", "idx"]).groupby("domain"):
+        v = grp["virtual_ms"].to_numpy()
+        assert (v[1:] >= v[:-1]).all(), f"non-monotonic audit trail for {d}"
+
+    # the final offsets equal the greedy schedule of TOTAL durations
+    from marginaliasearch_spark.canon.domain import top_domain_of
+    from marginaliasearch_spark.operators.scheduling import (
+        DEFAULT_PERMITS,
+        TOP_DOMAIN_PERMITS,
+    )
+
+    offp = e.catalog.paths("wave_offsets")
+    offs = {r["domain"]: r["offset_ms"] for r in spark.read.parquet(*offp).collect()}
+    durs = {
+        r["domain"]: int(r["crawl_time_ms"] or 0)
+        for r in e.crawl_meta().select("domain", "crawl_time_ms").collect()
+        if (r["crawl_time_ms"] or 0) > 0
+    }
+    by_top: dict = {}
+    for d, dur in durs.items():
+        by_top.setdefault(top_domain_of(d), []).append((d, dur))
+    expected: dict = {}
+    for top, items in by_top.items():
+        permits = TOP_DOMAIN_PERMITS.get(top, DEFAULT_PERMITS)
+        expected.update(_schedule_offsets(sorted(items), permits))
+    assert offs == expected
