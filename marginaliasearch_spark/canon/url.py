@@ -319,30 +319,37 @@ class JavaURI:
 
 
 def uri_normalize_path(path: str) -> str:
-    """java.net.URI.normalize() path semantics: remove '.' segments, fold
-    '<seg>/..' pairs, but *retain* leading '..' segments (RFC 2396 style —
-    this is why the reference's LinkParser.renormalize exists)."""
+    """java.net.URI.normalize() path semantics, verified against compiled
+    Java (tests/golden/uri_normalize.tsv): remove '.' segments, fold
+    '<seg>/..' pairs, *retain* leading '..' segments (RFC 2396 style —
+    this is why the reference's LinkParser.renormalize exists), collapse
+    duplicate slashes, and KEEP the trailing slash when the path ends in
+    '/' or in a consumed '.'/'..' segment ('/a/b/..' → '/a/', not '/a')."""
     if not path:
         return path
     leading_slash = path.startswith("/")
-    segs = path.split("/")
+    segs = [s for s in path.split("/") if s != ""]  # '//' collapses
     out: list[str] = []
+    last_consumed_dot = False
     for seg in segs:
         if seg == ".":
+            last_consumed_dot = True
             continue
         if seg == "..":
-            if out and out[-1] not in ("..", ""):
+            if out and out[-1] != "..":
                 out.pop()
+                last_consumed_dot = True
             else:
                 out.append("..")
+                last_consumed_dot = False
         else:
             out.append(seg)
-    # drop empty segments introduced by split on leading slash
-    out = [s for s in out if s != ""] or []
+            last_consumed_dot = False
     norm = "/".join(out)
     if leading_slash:
         norm = "/" + norm
-    if path.endswith("/") and not norm.endswith("/"):
+    trailing = path.endswith("/") or last_consumed_dot
+    if trailing and not norm.endswith("/"):
         norm += "/"
     if norm == "" and leading_slash:
         norm = "/"
@@ -417,6 +424,10 @@ def parse_uri_lenient(url: str) -> JavaURI:
     end = url.find("#")
     if end < 0:
         end = len(url)
+    # NOTE: deliberately UNBOUNDED like the reference (EdgeUrl.java:239
+    # `url.indexOf('?')`): a '?' appearing only inside the fragment makes
+    # queryIdx > end and the fragment text leak into the path — a
+    # reference quirk we reproduce for bit-parity, not a bug to fix here.
     query_idx = url.find("?")
     if query_idx < 0:
         query_idx = end

@@ -94,8 +94,8 @@ def _resize_block_mean(gray: np.ndarray, out: int) -> np.ndarray:
     h, w = gray.shape
     ys = (np.arange(out + 1) * h // out).astype(np.int64)
     xs = (np.arange(out + 1) * w // out).astype(np.int64)
-    ys = np.maximum(ys, np.arange(out + 1))  # guarantee non-empty buckets for tiny images
-    xs = np.maximum(xs, np.arange(out + 1))
+    # non-empty buckets for tiny images come from the upscale branch below
+    # (it rebuilds ys/xs after repetition)
     if h < out or w < out:
         # upscale tiny images by repetition first
         ry = int(np.ceil(out / h))

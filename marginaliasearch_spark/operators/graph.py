@@ -89,6 +89,7 @@ def pagerank(
     ranks = ranks.localCheckpoint()  # materialize before releasing caches
     for c in cached:
         c.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -142,6 +143,7 @@ def connected_components(
         labels = new_labels
         if changed:
             break
+    edges.unpersist()  # labels are checkpointed — the cache is releasable
     return labels
 
 

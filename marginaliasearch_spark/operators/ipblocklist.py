@@ -56,8 +56,8 @@ def is_domain_blocked(
 ) -> bool:
     if domain.endswith(".cn"):
         return True
-    if _DIGIT_RUN.search(domain.split(".")[0] if sub_domain else domain):
-        pass  # the reference checks the full hostname; fall through
+    # the reference's numeric rule matches the FULL hostname
+    # (IpBlockList.java:60 `.*\d{4}.*` on domain.toString())
     if _DIGIT_RUN.search(domain):
         return True
     if country in GEO_GRAYLIST and sub_domain not in ("", "www"):

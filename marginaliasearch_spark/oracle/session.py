@@ -380,8 +380,12 @@ class DomainCrawlSession:
             if url is not None and url.domain == root_url.domain:
                 return str(url)
         for endpoint in LIKELY_FEED_ENDPOINTS:
-            url = root_url.with_path_and_param(endpoint, None)
-            if not self.rules.is_allowed(str(url)):
+            # the reference builds the guess with a SLASHLESS path and then
+            # round-trips it through toString()+parse() in validateFeedUrl
+            # (CrawlerRetreiver.java:424-441), which roots it at '/rss.xml';
+            # fetching the unrooted EdgeUrl directly would miss every page
+            url = parse_url(str(root_url.with_path_and_param(endpoint, None)))
+            if url is None or not self.rules.is_allowed(str(url)):
                 continue
             p = self._fetch(url)
             self._log(str(url), "FETCH_FEEDGUESS", p.status)

@@ -251,7 +251,11 @@ def ensure_export(export_dir: str | None = None) -> str:
     try:
         os.rename(tmp, export_dir)
     except OSError:
-        pass  # another writer won the race; identical content
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):  # not a lost race — a real failure
+            raise
     return export_dir
 
 
@@ -438,7 +442,11 @@ def ensure_recrawl_export(export_dir: str | None = None) -> str:
     try:
         os.rename(tmp, export_dir)
     except OSError:
-        pass
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):  # not a lost race — a real failure
+            raise
     return export_dir
 
 
@@ -523,7 +531,11 @@ def ensure_order_export(export_dir: str | None = None) -> str:
     try:
         os.rename(tmp, export_dir)
     except OSError:
-        pass
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):  # not a lost race — a real failure
+            raise
     return export_dir
 
 

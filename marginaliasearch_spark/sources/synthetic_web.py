@@ -445,6 +445,15 @@ def generate_web(
                 domain=name, path="/favicon.ico", param=None,
                 status=200, content_type=ICON,
             )
+        if i % 3 == 1:
+            # the declared feed link must actually resolve (feed_links on
+            # the root points at /feed.rss)
+            pages[(name, "/feed.rss", None)] = Page(
+                url=f"{proto}://{name}/feed.rss",
+                domain=name, path="/feed.rss", param=None,
+                status=200, content_type="application/rss+xml",
+                body_marker="<rss version=\"2.0\">",
+            )
         if i % 3 == 2:
             pages[(name, "/rss.xml", None)] = Page(
                 url=f"{proto}://{name}/rss.xml",

@@ -110,14 +110,28 @@ def polite_schedule(candidates: DataFrame, delay_ms: int = 1000) -> DataFrame:
 
 
 def start_live_sink(candidates: DataFrame, out_path: str, checkpoint: str):
-    """Append each micro-batch atomically via foreachBatch."""
+    """Exactly-once parquet sink via foreachBatch: each epoch lands in its
+    own ``epoch=N`` directory through a write-to-temp + atomic-rename, and
+    a retried epoch (foreachBatch is at-least-once) is a no-op because the
+    directory already exists — no duplicate rows on micro-batch retry."""
+    import os
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        final = os.path.join(out_path, f"epoch={epoch_id}")
+        if os.path.exists(final):
+            return  # retried epoch — already committed
+        tmp = os.path.join(out_path, f"_tmp-epoch-{epoch_id}")
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(final):
+                raise
 
     return (
         candidates.writeStream.outputMode("append")

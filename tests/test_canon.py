@@ -206,3 +206,17 @@ def test_space_repair_in_relative_link():
     url = parse_link(base, "my page.html")
     assert url is not None
     assert str(url) == "http://www.marginalia.nu/dir/my%20page.html"
+
+
+def test_uri_normalize_matches_compiled_java():
+    """java.net.URI.normalize() parity, incl. the trailing-slash rule for
+    consumed '.'/'..' final segments ('/a/b/..' → '/a/', not '/a') —
+    golden vectors generated from compiled Java."""
+    from marginaliasearch_spark.canon.url import uri_normalize_path
+
+    n = 0
+    for line in open("tests/golden/uri_normalize.tsv"):
+        src, want = line.rstrip("\n").split("\t")
+        assert uri_normalize_path(src) == want, src
+        n += 1
+    assert n >= 30
