@@ -220,3 +220,41 @@ def test_uri_normalize_matches_compiled_java():
         assert uri_normalize_path(src) == want, src
         n += 1
     assert n >= 30
+
+
+def test_parse_link_differential_vs_compiled_reference():
+    """Differential over 282 messy (base, href) pairs: the OUTPUT of the
+    reference's own compiled LinkParser.parseLink + EdgeUrl pipeline
+    (tests/golden/linkparse_diff.tsv; BasicURLNormalizer stubbed to
+    identity, inputs restricted to pre-normalized hosts) vs our
+    parse_link.  One documented difference class is allowed: for scheme
+    hrefs (mailto:/javascript:/tel:/file:) the reference's STRING-form
+    parseLink constructs a parse-error-host EdgeUrl (its scheme filter
+    lives only in the Element form), where we return None — downstream
+    both are dropped identically (same-domain gate / proto gate)."""
+    from marginaliasearch_spark.canon.linkparser import parse_link
+    from marginaliasearch_spark.canon.url import parse_url
+
+    def unesc(s):
+        return s.replace("\\t", "\t").replace("\\n", "\n")
+
+    n = checked = 0
+    for line in open("tests/golden/linkparse_diff.tsv"):
+        base_s, href_e, want = line.rstrip("\n").split("\t", 2)
+        href, want = unesc(href_e), unesc(want)
+        base = parse_url(base_s)
+        u = parse_link(base, href)
+        got = (
+            "NONE"
+            if u is None
+            else f"{u}|{u.path}|{u.param if u.param is not None else '<null>'}"
+        )
+        n += 1
+        if "parse-error.invalid.example.com" in want and got == "NONE":
+            continue  # documented scheme-href difference (see docstring)
+        if want.startswith("ERR:"):
+            assert got in ("NONE",) or got.startswith("ERR:"), (base_s, href, got, want)
+            continue
+        assert got == want, (base_s, href, got, want)
+        checked += 1
+    assert n == 282 and checked >= 240
