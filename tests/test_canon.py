@@ -223,7 +223,8 @@ def test_uri_normalize_matches_compiled_java():
 
 
 def test_parse_link_differential_vs_compiled_reference():
-    """Differential over 282 messy (base, href) pairs: the OUTPUT of the
+    """Differential over 582 messy (base, href) pairs (282 handcrafted
+    + 300 seeded-fuzz incl. unicode/space/&=-in-path segments): the OUTPUT of the
     reference's own compiled LinkParser.parseLink + EdgeUrl pipeline
     (tests/golden/linkparse_diff.tsv; BasicURLNormalizer stubbed to
     identity, inputs restricted to pre-normalized hosts) vs our
@@ -257,4 +258,4 @@ def test_parse_link_differential_vs_compiled_reference():
             continue
         assert got == want, (base_s, href, got, want)
         checked += 1
-    assert n == 282 and checked >= 240
+    assert n == 582 and checked >= 520
