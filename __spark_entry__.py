@@ -4,7 +4,7 @@
 through the wave engine — at tiny scale and returns the crawl_data result.
 
 ``queries()`` exposes every SURVEY.md §2 operator family plus the
-training-data pipeline operators; ``oracle_sql()`` covers 35 of the 37
+training-data pipeline operators; ``oracle_sql()`` covers 36 of the 38
 entries.  Non-SQL-expressible semantics get INDEPENDENT oracles instead
 of rows-only checks: ground-truth fixture exports + recursive-CTE
 closure for the crawl set/order gates, planted-outcome tables for
@@ -607,6 +607,40 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(aug, q, k=10, n_centroids=16, n_probe=4).select("vec_id")
 
 
+def q_cross_domain_discovery(spark, sf_dir):
+    """Cross-domain discovery gate: cycle-1 edges → canonicalize → global
+    Bloom URL-seen admission → next-cycle atags (plans/discovery.py, the
+    reference's anchor-tags side input).  The fixture plants orphan pages
+    on target domains reachable ONLY through another domain's links
+    (duplicated, so global dedup must collapse them); the oracle is the
+    planted (domain, url) set."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.plans.discovery import next_cycle_atags
+    from marginaliasearch_spark.plans.frontier_dedup import FrontierDedup
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_discovery_export,
+        generate_discovery_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+
+    ensure_discovery_export()
+    pages_rows, domains_rows, _ = generate_discovery_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(pd.DataFrame(pages_rows), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    out_dir = tempfile.mkdtemp(prefix="msx_disc_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    engine.run_waves(pages, wave_budget=None)
+    fd = FrontierDedup(
+        spark, tempfile.mkdtemp(prefix="msx_seen_"), n_buckets=8,
+        m_bits_per_bucket=1 << 16,
+    )
+    return next_cycle_atags(engine.read_table("edges"), fd).select("domain", "url")
+
+
 def q_crawl_visit_order(spark, sf_dir):
     """Crawl ORDERING gate (north rule: reproduce the reference's crawl
     ordering): the engine crawls branch+redirect fixture domains whose
@@ -805,11 +839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_retention": q_recrawl_retention,
         "ip_admission": q_ip_admission,
         "crawl_visit_order": q_crawl_visit_order,
+        "cross_domain_discovery": q_cross_domain_discovery,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from marginaliasearch_spark.sources.gate_web import (
+        discovery_oracle_sql,
+        ensure_discovery_export,
         ensure_export,
         ensure_order_export,
         ensure_recrawl_export,
@@ -823,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
     gate_dir = ensure_export()
     rc_dir = ensure_recrawl_export()
     ord_dir = ensure_order_export()
+    disc_dir = ensure_discovery_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
     )
@@ -836,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_visited_set": gate_oracle_sql(gate_dir),
         "recrawl_retention": recrawl_oracle_sql(rc_dir),
         "crawl_visit_order": order_oracle_sql(ord_dir),
+        "cross_domain_discovery": discovery_oracle_sql(disc_dir),
         "doc_fingerprint": """
             SELECT doc_id, 1 AS copy_same FROM documents
         """,

@@ -542,3 +542,85 @@ def ensure_order_export(export_dir: str | None = None) -> str:
 def order_oracle_sql(export_dir: str) -> str:
     p = os.path.join(export_dir, "gw_order.parquet")
     return f"SELECT domain, rank, url FROM read_parquet('{p}')"
+
+
+# ---------------------------------------------------------------------------
+# Cross-domain discovery gate fixture: domain A links to orphan pages on
+# domain B that nothing on B references.  Cycle 1 crawls both; the
+# discovery loop (plans/discovery.py) must admit exactly the planted
+# orphans (canonicalized, globally deduped) as next-cycle atags.
+# ---------------------------------------------------------------------------
+
+DISC_N_PAIRS = 4
+DISC_ORPHANS_PER = 3
+
+
+def generate_discovery_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows) where expected_rows
+    is the planted truth: (domain, url) of every cross-domain-only orphan."""
+    pages_rows, domains_rows, expected_rows = [], [], []
+
+    def page(name, path, links=()):
+        pages_rows.append(
+            {
+                "domain": name, "path": path, "param": None,
+                "url": f"https://{name}{path}", "status": 200,
+                "redirect_to": None, "content_type": "text/html",
+                "image_id": None, "base_href": None, "links": list(links),
+                "feed_links": [], "body_marker": None, "etag": None,
+                "last_modified": None, "body_text": None,
+            }
+        )
+
+    for i in range(DISC_N_PAIRS):
+        src, dst = f"dsrc{i}.example.org", f"ddst{i}.example.org"
+        for name in (src, dst):
+            domains_rows.append(
+                {
+                    "domain": name, "top_domain": "example.org",
+                    "proto": "https", "probe": "ok", "robots_txt": None,
+                    "site_kind": "default", "crawl_depth": 100,
+                    "seed_urls": [], "sitemap_urls": [], "generator_meta": "",
+                    "has_lemmy_config": False,
+                }
+            )
+        orphans = [f"/orphan{k}.html" for k in range(DISC_ORPHANS_PER)]
+        # src links to its own page AND (duplicated) to dst's orphans —
+        # duplicates must collapse to one admission each
+        page(src, "/", ["/own.html"] + [f"https://{dst}{o}" for o in orphans] * 2)
+        page(src, "/own.html")
+        page(dst, "/", ["/linked.html"])
+        page(dst, "/linked.html")
+        for o in orphans:
+            page(dst, o)
+            expected_rows.append({"domain": dst, "url": f"https://{dst}{o}"})
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_discovery_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_discovery_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("disc", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_disc_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_discovery.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, export_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return export_dir
+
+
+def discovery_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_discovery.parquet")
+    return f"SELECT domain, url FROM read_parquet('{p}')"
