@@ -4,7 +4,7 @@
 through the wave engine — at tiny scale and returns the crawl_data result.
 
 ``queries()`` exposes every SURVEY.md §2 operator family plus the
-training-data pipeline operators; ``oracle_sql()`` covers 36 of the 38
+training-data pipeline operators; ``oracle_sql()`` covers 37 of the 39
 entries.  Non-SQL-expressible semantics get INDEPENDENT oracles instead
 of rows-only checks: ground-truth fixture exports + recursive-CTE
 closure for the crawl set/order gates, planted-outcome tables for
@@ -607,6 +607,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(aug, q, k=10, n_centroids=16, n_probe=4).select("vec_id")
 
 
+def q_av_features(spark, sf_dir):
+    """Audio/video payload features through the real mapInPandas extractor
+    (decode, rFFT dominant frequency, frame-sampling, phash shot-boundary)
+    over the planted AV corpus — every expected value derives from the clip
+    index by construction, so the oracle declares it in plain SQL."""
+    from marginaliasearch_spark.plans.av_pipeline import extract_av_features
+    from marginaliasearch_spark.sources.corpus import generate_av_corpus
+
+    clips = spark.createDataFrame(generate_av_corpus(42, 64))
+    return extract_av_features(clips)
+
+
 def q_cross_domain_discovery(spark, sf_dir):
     """Cross-domain discovery gate: cycle-1 edges → canonicalize → global
     Bloom URL-seen admission → next-cycle atags (plans/discovery.py, the
@@ -840,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_admission": q_ip_admission,
         "crawl_visit_order": q_crawl_visit_order,
         "cross_domain_discovery": q_cross_domain_discovery,
+        "av_features": q_av_features,
     }
 
 
@@ -875,6 +888,19 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_retention": recrawl_oracle_sql(rc_dir),
         "crawl_visit_order": order_oracle_sql(ord_dir),
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),
+        "av_features": """
+            SELECT printf('clip-%08d', i) AS clip_id,
+                   CASE WHEN i % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+                   1 AS decode_ok,
+                   CAST(CASE WHEN i % 2 = 0
+                        THEN (500 + ((i // 2) % 8) * 250) * 1000
+                        ELSE 0 END AS BIGINT) AS peak_mhz,
+                   CASE WHEN i % 2 = 0 THEN 7 ELSE 0 END AS n_windows,
+                   CASE WHEN i % 2 = 1 THEN 6 + (i % 5) ELSE 0 END AS n_frames,
+                   CASE WHEN i % 2 = 1 THEN (6 + (i % 5) + 1) // 2 ELSE 0 END AS n_sampled_k2,
+                   CASE WHEN i % 2 = 1 THEN (6 + (i % 5)) // 2 ELSE -1 END AS cut_idx
+            FROM generate_series(0, 63) t(i)
+        """,
         "doc_fingerprint": """
             SELECT doc_id, 1 AS copy_same FROM documents
         """,

@@ -77,3 +77,56 @@ def generate_corpus(seed: int, n: int) -> pd.DataFrame:
     df["h"] = df["h"].astype("int32")
     df["phash"] = df["phash"].astype("int64")
     return df
+
+
+# ---------------------------------------------------------------------------
+# audio/video corpus (functions/avcodec.py payloads) — planted truth: every
+# clip's spectral peak / frame count / shot-cut position derives from its
+# index by construction, so a driver gate can declare the expected values
+# in plain SQL while the engine earns them through real decode + numpy.
+# ---------------------------------------------------------------------------
+
+AV_SR = 8000
+AV_WINDOW = 1024  # bin width = 8000/1024 = 7.8125 Hz (binary-exact)
+
+
+def av_clip_row(seed: int, i: int) -> dict:
+    from ..functions.avcodec import encode_audio, encode_video
+
+    rng = np.random.default_rng([seed, 4242, i])
+    if i % 2 == 0:
+        # audio: pure sine EXACTLY on FFT bin k → argmax bin is planted
+        k = 64 + (i // 2 % 8) * 32          # 500, 750, ..., 2250 Hz
+        freq = k * AV_SR / AV_WINDOW
+        t = np.arange(AV_SR, dtype=np.float64) / AV_SR  # 1 s
+        wave = 0.5 * np.sin(2 * np.pi * freq * t)
+        data = encode_audio(wave, AV_SR)
+        return {
+            "clip_id": f"clip-{i:08d}", "kind": "audio", "bytes": data,
+            "sample_rate": np.int32(AV_SR), "fps": np.int32(0),
+            "n_frames": np.int32(0),
+        }
+    # video: first half frames = gradient A, second half = inverted (one
+    # planted shot cut at n_frames//2)
+    n_frames = 6 + (i % 5)
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    a = np.clip(40 + 4 * xx + 2 * yy, 0, 255).astype(np.uint8)
+    frame_a = np.stack([a, a, a], axis=-1)
+    frame_b = 255 - frame_a
+    cut = n_frames // 2
+    frames = [frame_a] * cut + [frame_b] * (n_frames - cut)
+    data = encode_video(frames, fps=4, fmt="png")
+    _ = rng  # reserved for future jitter; keep the seeded signature stable
+    return {
+        "clip_id": f"clip-{i:08d}", "kind": "video", "bytes": data,
+        "sample_rate": np.int32(0), "fps": np.int32(4),
+        "n_frames": np.int32(n_frames),
+    }
+
+
+def generate_av_corpus(seed: int, n: int) -> pd.DataFrame:
+    df = pd.DataFrame([av_clip_row(seed, i) for i in range(n)])
+    for c in ("sample_rate", "fps", "n_frames"):
+        df[c] = df[c].astype("int32")
+    return df
