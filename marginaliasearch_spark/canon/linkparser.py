@@ -114,6 +114,27 @@ def _normalize_uri(uri: JavaURI) -> JavaURI:
     return uri
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
+def _parse_resolved(resolved: str) -> Optional[EdgeUrl]:
+    """Parse+normalize a RESOLVED absolute URL string.  Pure and memoized:
+    pages link to the same targets over and over (nav links), and the
+    lenient parse + normalize + EdgeUrl construction is the crawl loop's
+    hottest path (profiled ~47% of session time).  EdgeUrl is immutable,
+    so sharing instances is safe."""
+    try:
+        uri = parse_uri_lenient(resolved)
+    except (URISyntaxError, ValueError):
+        return None
+    uri = _renormalize(_normalize_uri(uri))
+    try:
+        return EdgeUrl.from_uri(uri)
+    except (URISyntaxError, ValueError):
+        return None
+
+
 def parse_link(base: EdgeUrl, href: str) -> Optional[EdgeUrl]:
     """LinkParser.parseLink(baseUrl, String):81-88 — resolve + normalize.
 
@@ -122,14 +143,10 @@ def parse_link(base: EdgeUrl, href: str) -> Optional[EdgeUrl]:
     afterwards; use ``parse_link_from_anchor``.
     """
     try:
-        uri = parse_uri_lenient(resolve_relative_url(base, href))
+        resolved = resolve_relative_url(base, href)
     except (URISyntaxError, ValueError):
         return None
-    uri = _renormalize(_normalize_uri(uri))
-    try:
-        return EdgeUrl.from_uri(uri)
-    except (URISyntaxError, ValueError):
-        return None
+    return _parse_resolved(resolved)
 
 
 def parse_link_from_anchor(
