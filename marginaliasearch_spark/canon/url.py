@@ -537,9 +537,20 @@ class EdgeUrl:
 
 
 def parse_url(url: Optional[str]) -> Optional[EdgeUrl]:
-    """EdgeUrl.parse: None on any syntax error."""
+    """EdgeUrl.parse: None on any syntax error.  Pure and memoized — the
+    crawl loop re-parses the same canonical strings constantly (queue
+    entries, seeds, recrawl replays); EdgeUrl is immutable so instances
+    are safely shared."""
     if url is None:
         return None
+    return _parse_url_cached(url)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
+def _parse_url_cached(url: str) -> Optional[EdgeUrl]:
     try:
         return EdgeUrl.from_string(url)
     except (URISyntaxError, ValueError):
