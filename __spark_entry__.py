@@ -622,10 +622,12 @@ def q_av_features(spark, sf_dir):
 def q_cross_domain_discovery(spark, sf_dir):
     """Cross-domain discovery gate: cycle-1 edges → canonicalize → global
     Bloom URL-seen admission → next-cycle atags (plans/discovery.py, the
-    reference's anchor-tags side input).  The fixture plants orphan pages
-    on target domains reachable ONLY through another domain's links
-    (duplicated, so global dedup must collapse them); the oracle is the
-    planted (domain, url) set."""
+    reference's anchor-tags side input).  The cycle-1 VISITED set is
+    ingested into the URL-seen service first, so the admission step must
+    genuinely REJECT the fixture's cross-domain links to already-visited
+    pages and admit only the planted orphans (duplicated in the fixture,
+    so global dedup must also collapse them); the oracle is the planted
+    (domain, url) set."""
     import pandas as pd
 
     from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
@@ -650,6 +652,14 @@ def q_cross_domain_discovery(spark, sf_dir):
         spark, tempfile.mkdtemp(prefix="msx_seen_"), n_buckets=8,
         m_bits_per_bucket=1 << 16,
     )
+    # seed the global URL-seen service with everything cycle 1 visited —
+    # the admission step below must reject those, not just pass everything
+    from marginaliasearch_spark.functions.udfs import canonicalize
+
+    visited = engine.read_table("visits").select(
+        canonicalize(F.col("url"))["url_hash"].alias("url_hash"), "url"
+    )
+    fd.ingest(visited)
     return next_cycle_atags(engine.read_table("edges"), fd).select("domain", "url")
 
 

@@ -42,7 +42,9 @@ def pagerank(
     ).distinct().cache()
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint()
+        nodes.unpersist()
+        return out
 
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
     ranks = nodes.withColumn("rank", F.lit(1.0))

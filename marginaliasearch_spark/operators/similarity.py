@@ -213,8 +213,8 @@ def ivf_topk(
     partition pruning on every query); here it is computed inline.
     """
     sample = emb.select(vec_col).orderBy(F.col(id_col)).limit(n_centroids * 8).collect()
-    if not sample:
-        return emb.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+    if not sample:  # schema-preserving empty result (id type follows the input)
+        return emb.select(id_col).limit(0).withColumn("cosine", F.lit(0.0))
     mat = np.vstack([r[0] for r in sample]).astype(np.float64)
     rng = np.random.default_rng([seed, 1618])
     idx = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)

@@ -42,10 +42,10 @@ def extract_av_features(clips: DataFrame, window: int = 1024) -> DataFrame:
         from ..functions.avcodec import (
             audio_features,
             decode_audio,
-            sample_frames,
-            shot_boundaries,
+            iter_video_frames,
             video_meta,
         )
+        from ..functions.imagecodec import hamming64, phash64
 
         for pdf in batches:
             rows = []
@@ -67,13 +67,26 @@ def extract_av_features(clips: DataFrame, window: int = 1024) -> DataFrame:
                         )
                     else:
                         _, n_frames = video_meta(data)
-                        sampled = sample_frames(data, 2)
-                        cuts = shot_boundaries(data, every_k=1)
+                        # single decode pass: sampling count and the
+                        # shot-boundary phash walk share the same frames
+                        cut_idx, prev = -1, None
+                        n_sampled = 0
+                        for fi, frame in enumerate(iter_video_frames(data)):
+                            if fi % 2 == 0:
+                                n_sampled += 1
+                            h = phash64(frame)
+                            if (
+                                cut_idx < 0
+                                and prev is not None
+                                and hamming64(h, prev) >= 16
+                            ):
+                                cut_idx = fi
+                            prev = h
                         out.update(
                             decode_ok=1,
                             n_frames=int(n_frames),
-                            n_sampled_k2=len(sampled),
-                            cut_idx=int(cuts[0]) if cuts else -1,
+                            n_sampled_k2=n_sampled,
+                            cut_idx=cut_idx,
                         )
                 except Exception:  # noqa: BLE001 — corrupt payloads flagged, not fatal
                     pass

@@ -93,7 +93,6 @@ AV_WINDOW = 1024  # bin width = 8000/1024 = 7.8125 Hz (binary-exact)
 def av_clip_row(seed: int, i: int) -> dict:
     from ..functions.avcodec import encode_audio, encode_video
 
-    rng = np.random.default_rng([seed, 4242, i])
     if i % 2 == 0:
         # audio: pure sine EXACTLY on FFT bin k → argmax bin is planted
         k = 64 + (i // 2 % 8) * 32          # 500, 750, ..., 2250 Hz
@@ -117,7 +116,6 @@ def av_clip_row(seed: int, i: int) -> dict:
     cut = n_frames // 2
     frames = [frame_a] * cut + [frame_b] * (n_frames - cut)
     data = encode_video(frames, fps=4, fmt="png")
-    _ = rng  # reserved for future jitter; keep the seeded signature stable
     return {
         "clip_id": f"clip-{i:08d}", "kind": "video", "bytes": data,
         "sample_rate": np.int32(0), "fps": np.int32(4),

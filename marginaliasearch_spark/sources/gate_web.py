@@ -52,6 +52,21 @@ def _fingerprinted_dir(tag: str, rows) -> str:
     h = hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"msx_{tag}_{h}")
 
+
+def _commit_export_dir(tmp: str, export_dir: str, marker: str) -> None:
+    """Atomic-rename commit with lost-race tolerance: the loser of a
+    concurrent export race discards its tmp dir (identical content); any
+    other rename failure re-raises."""
+    try:
+        os.rename(tmp, export_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):  # not a lost race — a real failure
+            raise
+
+
 _EXCLUDED = frozenset({5, 6, 7})  # probe-error, probe-redirect, robots-blocked
 
 # every noise href is inadmissible, each through a different gate
@@ -248,14 +263,7 @@ def ensure_export(export_dir: str | None = None) -> str:
     pd.DataFrame(gw_links).to_parquet(os.path.join(tmp, "gw_links.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")
-    try:
-        os.rename(tmp, export_dir)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(marker):  # not a lost race — a real failure
-            raise
+    _commit_export_dir(tmp, export_dir, marker)
     return export_dir
 
 
@@ -439,14 +447,7 @@ def ensure_recrawl_export(export_dir: str | None = None) -> str:
     pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_recrawl.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")
-    try:
-        os.rename(tmp, export_dir)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(marker):  # not a lost race — a real failure
-            raise
+    _commit_export_dir(tmp, export_dir, marker)
     return export_dir
 
 
@@ -528,14 +529,7 @@ def ensure_order_export(export_dir: str | None = None) -> str:
     pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_order.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")
-    try:
-        os.rename(tmp, export_dir)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(marker):  # not a lost race — a real failure
-            raise
+    _commit_export_dir(tmp, export_dir, marker)
     return export_dir
 
 
@@ -585,9 +579,15 @@ def generate_discovery_fixture():
                 }
             )
         orphans = [f"/orphan{k}.html" for k in range(DISC_ORPHANS_PER)]
-        # src links to its own page AND (duplicated) to dst's orphans —
-        # duplicates must collapse to one admission each
-        page(src, "/", ["/own.html"] + [f"https://{dst}{o}" for o in orphans] * 2)
+        # src links to its own page, to dst pages ALREADY visited in cycle 1
+        # (the seen-set must reject them), and (duplicated) to dst's orphans
+        # — duplicates must collapse to one admission each
+        page(
+            src,
+            "/",
+            ["/own.html", f"https://{dst}/", f"https://{dst}/linked.html"]
+            + [f"https://{dst}{o}" for o in orphans] * 2,
+        )
         page(src, "/own.html")
         page(dst, "/", ["/linked.html"])
         page(dst, "/linked.html")
@@ -610,14 +610,7 @@ def ensure_discovery_export(export_dir: str | None = None) -> str:
     pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_discovery.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")
-    try:
-        os.rename(tmp, export_dir)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(marker):
-            raise
+    _commit_export_dir(tmp, export_dir, marker)
     return export_dir
 
 

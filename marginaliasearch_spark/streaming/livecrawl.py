@@ -113,7 +113,13 @@ def start_live_sink(candidates: DataFrame, out_path: str, checkpoint: str):
     """Exactly-once parquet sink via foreachBatch: each epoch lands in its
     own ``epoch=N`` directory through a write-to-temp + atomic-rename, and
     a retried epoch (foreachBatch is at-least-once) is a no-op because the
-    directory already exists — no duplicate rows on micro-batch retry."""
+    directory already exists — no duplicate rows on micro-batch retry.
+
+    The commit step uses driver-local rename, i.e. ``out_path`` must be a
+    locally-mounted filesystem (this sandbox's storage).  On HDFS/S3 swap
+    the exists/rename pair for the Hadoop FileSystem API (or an Iceberg
+    append with epoch_id as the idempotency key) — the structure of the
+    sink does not change."""
     import os
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
