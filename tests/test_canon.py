@@ -259,3 +259,18 @@ def test_parse_link_differential_vs_compiled_reference():
         assert got == want, (base_s, href, got, want)
         checked += 1
     assert n == 582 and checked >= 520
+
+
+def test_queryparams_differential_vs_compiled_reference():
+    """queryParamsSanitizer parity vs the reference's COMPILED QueryParams
+    (whitelist, .php-path extras, sorting, null-on-empty) — golden output
+    in tests/golden/queryparams_diff.tsv."""
+    from marginaliasearch_spark.canon.queryparams import query_params_sanitizer
+
+    n = 0
+    for line in open("tests/golden/queryparams_diff.tsv"):
+        path, query, want = line.rstrip("\n").split("\t")
+        got = query_params_sanitizer(path, query or None)
+        assert ("<null>" if got is None else got) == want, (path, query)
+        n += 1
+    assert n >= 25
