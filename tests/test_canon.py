@@ -274,3 +274,18 @@ def test_queryparams_differential_vs_compiled_reference():
         assert ("<null>" if got is None else got) == want, (path, query)
         n += 1
     assert n >= 25
+
+
+def test_edgedomain_differential_vs_compiled_reference():
+    """EdgeDomain sub/top split parity vs the reference's COMPILED class
+    (ccTLD second-levels, deep subdomains, trailing dots, IPs, uppercase) —
+    golden output in tests/golden/edgedomain_diff.tsv."""
+    from marginaliasearch_spark.canon.domain import EdgeDomain
+
+    n = 0
+    for line in open("tests/golden/edgedomain_diff.tsv"):
+        host, sub, top = line.rstrip("\n").split("\t")
+        d = EdgeDomain(host)
+        assert (d.sub_domain, d.top_domain) == (sub, top), host
+        n += 1
+    assert n >= 20
