@@ -125,6 +125,9 @@ def main() -> None:
     bloom_new = bloom_anti_join(cands, seen, blooms=blooms).count()
     t_bloom = time.perf_counter() - t0
     assert bloom_new == exact_new, (bloom_new, exact_new)
+    from marginaliasearch_spark.operators.bloom import unpersist_transients
+
+    unpersist_transients()  # release the probe intermediate (result counted)
 
     # politeness wave selection: first 5 queued URLs per domain
     t0 = time.perf_counter()

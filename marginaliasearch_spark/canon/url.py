@@ -348,7 +348,12 @@ def uri_normalize_path(path: str) -> str:
     norm = "/".join(out)
     if leading_slash:
         norm = "/" + norm
-    trailing = path.endswith("/") or last_consumed_dot
+    # the consumed-dot trailing slash only applies when something remains:
+    # relative paths that fully collapse yield '' in Java ('.', 'a/..',
+    # './.' → ''), while 'a/.' → 'a/' and '/..'-style absolutes keep '/'
+    trailing = path.endswith("/") or (
+        last_consumed_dot and (bool(out) or leading_slash)
+    )
     if trailing and not norm.endswith("/"):
         norm += "/"
     if norm == "" and leading_slash:

@@ -192,6 +192,7 @@ def bloom_anti_join(
     key_col: str = "url_hash",
     bucket_col: str = "bucket",
     blooms: Optional[DataFrame] = None,
+    transients: Optional[list] = None,
 ) -> DataFrame:
     """candidates ∖ seen on key_col, Bloom-prefiltered per bucket.
 
@@ -203,6 +204,13 @@ def bloom_anti_join(
 
     Pass a prebuilt/persisted ``blooms`` DataFrame (see
     ``bloom_or_new_keys``) to skip rebuilding filters from the seen-set.
+
+    The probe intermediate is persisted (two consumers read it).  Its
+    handle lands in ``transients`` when given, else in the module-global
+    list drained by ``unpersist_transients()`` — callers that materialize
+    the result MUST release it one of those two ways, or a long-lived
+    driver accumulates cached blocks (FrontierDedup.ingest does this every
+    snapshot).
     """
     if blooms is None:
         blooms = build_bloom_per_bucket(seen, key_col, bucket_col)
@@ -230,7 +238,7 @@ def bloom_anti_join(
         .applyInPandas(probe, flagged_schema)
         .persist()  # two consumers below — probe exactly once
     )
-    _TRANSIENT.append(flagged)
+    (transients if transients is not None else _TRANSIENT).append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
 

@@ -139,12 +139,41 @@ class FrontierDedup:
         spath = os.path.join(self.root, f"seen-{snap:06d}")
         new_keys.write.mode("overwrite").parquet(spath)
 
+        # saturation watch: with fixed m_bits the OR-union filter degrades
+        # gracefully (no false negatives) but its false-positive rate climbs
+        # once fill passes ~50%, silently shifting work onto the exact-check
+        # scan.  Track the worst bucket's estimated fill in the manifest and
+        # warn so operators rebuild at larger m_bits before it matters.
+        from ..operators.bloom import _K
+
+        fill_row = (
+            self.spark.read.parquet(bpath)
+            .select(
+                F.max(
+                    F.lit(1.0)
+                    - F.exp(-F.lit(float(_K)) * F.col("n_keys") / F.col("m_bits"))
+                ).alias("max_fill")
+            )
+            .collect()[0]
+        )
+        max_fill = float(fill_row["max_fill"] or 0.0)
+        if max_fill > 0.5:
+            import warnings
+
+            warnings.warn(
+                f"FrontierDedup bucket filter fill ≈ {max_fill:.0%} (> 50%): "
+                f"false-positive rate is degrading the scan-only exact check; "
+                f"rebuild filters with larger m_bits (current {self.m_bits}).",
+                stacklevel=2,
+            )
+
         manifest = {
             "snapshot": snap,
             "seen_paths": m["seen_paths"] + [spath],
             "blooms_path": bpath,
             "n_buckets": self.n_buckets,
             "m_bits": self.m_bits,
+            "max_fill_est": round(max_fill, 4),
         }
         tmp = self._manifest_path(snap) + ".tmp"
         with open(tmp, "w") as f:

@@ -116,11 +116,27 @@ def start_live_sink(candidates: DataFrame, out_path: str, checkpoint: str):
     directory already exists — no duplicate rows on micro-batch retry.
 
     The commit step uses driver-local rename, i.e. ``out_path`` must be a
-    locally-mounted filesystem (this sandbox's storage).  On HDFS/S3 swap
-    the exists/rename pair for the Hadoop FileSystem API (or an Iceberg
-    append with epoch_id as the idempotency key) — the structure of the
-    sink does not change."""
+    locally-mounted filesystem visible to both driver and executors —
+    ENFORCED below (local master + local path), not just documented: on a
+    multi-node cluster the executors' tmp parquet would land where the
+    driver's os.rename cannot see it and the sink would corrupt silently.
+    On HDFS/S3 swap the exists/rename pair for the Hadoop FileSystem API
+    (or an Iceberg append with epoch_id as the idempotency key) — the
+    structure of the sink does not change."""
     import os
+
+    master = candidates.sparkSession.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            f"start_live_sink requires a local master (driver-side rename "
+            f"commit); got spark.master={master!r} — use the Hadoop "
+            f"FileSystem API / Iceberg append sink on a cluster"
+        )
+    if "://" in out_path and not out_path.startswith("file://"):
+        raise ValueError(
+            f"start_live_sink requires a local filesystem out_path; got "
+            f"{out_path!r}"
+        )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         final = os.path.join(out_path, f"epoch={epoch_id}")
