@@ -306,15 +306,15 @@ OFFSETS_SCHEMA = T.StructType(
 def _make_offsets_fn():
     """Per-top-domain token-budget schedule (wordpress.com 16, blogspot 8,
     substack 1, default 2 — LocalDomainCoordinator.java:88-100) as a SMALL
-    post-wave pass: member domains crawl in permits-unbounded parallel
-    tasks (the wave itself groups by domain), and this pass derives each
-    member's virtual-clock start offset from the greedy list schedule of
-    their wave durations onto `permits` slots with the 1 s grant cadence.
-    Offsets land in a per-wave side table the fetch_log view applies —
-    per-domain crawl order and the seen-set are untouched; only the
-    audit-trail timestamps reflect the semaphore, and a blogspot.com-scale
-    top-domain no longer serializes its thousands of members into one
-    task."""
+    post-wave pass: this derives each member's virtual-clock start offset
+    from the greedy list schedule of their crawl durations onto `permits`
+    slots with the 1 s grant cadence.  Offsets land in a side table the
+    fetch_log view applies — the audit-trail timestamps reflect the
+    semaphore's grant times.  The permit bound itself is enforced
+    PHYSICALLY by the per-wave slot claim in ``_run_waves_inner`` (≤
+    permits members advance per wave); this pass adds the clock model on
+    top, and a blogspot.com-scale top-domain never serializes its
+    thousands of members into one task (the wave groups by domain)."""
     from ..operators.scheduling import DEFAULT_PERMITS, TOP_DOMAIN_PERMITS
 
     def offsets_fn(key, pdf):  # (key, pdf) form — no hints, or Spark warns
@@ -419,12 +419,22 @@ class SparkCrawlEngine:
         return self.spark.read.parquet(*paths)
 
     def _wave_view(self, table: str, cols: list, kind: Optional[str] = None) -> Optional[DataFrame]:
+        """row_kind-filtered view over the wave output log.
+
+        wave_out is written partitionBy(row_kind) under wave=NNNNNN dirs,
+        so with basePath at the table root BOTH wave and row_kind are
+        Hive-style partition columns: the kind filter prunes whole
+        directories at planning time — a 10^4-wave run's fetch_log query
+        opens only fetch_log files, not every wave's every kind."""
         paths = self.catalog.paths("wave_out")
         if not paths:
             return None
         kind = kind or table
         return (
-            self.spark.read.parquet(*paths)
+            self.spark.read.option(
+                "basePath", os.path.join(self.out_dir, "wave_out")
+            )
+            .parquet(*paths)
             .filter(F.col("row_kind") == kind)
             .select(*cols)
         )
@@ -557,10 +567,14 @@ class SparkCrawlEngine:
         elapsed, no NEW wave is submitted; the in-flight wave commits its
         snapshot normally, so the run stays exactly resumable.
 
-        ``group_key="top_domain"`` co-locates all domains sharing a
-        top-domain in one group and applies the per-top-domain token
-        budget to the virtual clock (the reference's semaphore semantics);
-        per-domain order and seen-set are unchanged.
+        ``group_key="top_domain"`` enforces the per-top-domain token
+        budget PHYSICALLY (at most `permits` member domains advance per
+        wave, mid-crawl members holding their slot — the reference's
+        semaphore, LocalDomainCoordinator.java:22-122) and additionally
+        models the 1 s grant cadence on the virtual clock via the offsets
+        side table; per-domain order and seen-set are unchanged.  The wave
+        still groups by domain, so a giant top-domain's runnable members
+        stay spread across tasks.
 
         AQE partition coalescing is disabled for the wave jobs: it merges
         shuffle partitions by *byte size*, and the wave groups are tiny in
@@ -603,13 +617,38 @@ class SparkCrawlEngine:
             wave = manifest["wave"] + 1
 
             domain_state = self._read("domain_state")
-            # active is consumed by ~6 downstream plans this wave (left
-            # build, frontier semi-join, pages semi-join, dirty collect,
-            # terminal anti-join) — cache it so each doesn't re-scan the
-            # domain_state parquet
-            active = domain_state.filter(
-                F.col("phase").isin("pending", "active")
-            ).persist()
+            active = domain_state.filter(F.col("phase").isin("pending", "active"))
+            if group_key == "top_domain":
+                # PHYSICAL permit enforcement (the reference's semaphore is
+                # held for a domain's whole crawl —
+                # LocalDomainCoordinator.java:22-122): at most `permits`
+                # member domains of a top-domain run per wave.  Mid-crawl
+                # members keep their slot (phase='active' outranks
+                # 'pending'); freed slots go to pending members in
+                # deterministic domain order (the lock-retry loop of
+                # CrawlerMain.java:405-457, with domain order as the
+                # determinism pin).  Held domains simply skip the wave —
+                # their state rows are carried forward untouched.  The
+                # offsets side table below stays as the 1 s-cadence
+                # virtual-clock audit model of the same semaphore.
+                from pyspark.sql import Window
+
+                from ..operators.scheduling import permits_col
+
+                slot_w = Window.partitionBy("top_domain").orderBy(
+                    F.desc((F.col("phase") == "active").cast("int")),
+                    F.col("domain"),
+                )
+                active = (
+                    active.withColumn("_slot", F.row_number().over(slot_w))
+                    .filter(F.col("_slot") <= permits_col(F.col("top_domain")))
+                    .drop("_slot")
+                )
+            # the runnable set is consumed by ~6 downstream plans this wave
+            # (left build, frontier semi-join, pages semi-join, dirty
+            # collect, carry anti-join) — cache it so each doesn't re-scan
+            # the domain_state parquet
+            active = active.persist()
             if active.isEmpty():
                 active.unpersist()
                 break
@@ -698,9 +737,10 @@ class SparkCrawlEngine:
             pages_active = web_pages_df.join(
                 F.broadcast(active.select("domain")), "domain", "left_semi"
             )
-            # the wave ALWAYS groups by domain — permits-bounded budget mode
-            # only adds the small offsets post-pass below, so giant
-            # top-domains stay spread across tasks
+            # the wave ALWAYS groups by domain — budget mode bounds WHICH
+            # domains run (slot claim above) but never merges them into a
+            # top-domain mega-group, so giant top-domains stay spread
+            # across tasks
             wave_fn = _make_wave_fn(wave_budget, self.seed, self.validate_inline)
             out = (
                 left.groupby("domain")
@@ -708,12 +748,14 @@ class SparkCrawlEngine:
                 .applyInPandas(wave_fn, WAVE_OUT_SCHEMA)
             )
 
-            # ONE physical write per wave: the unified output log.  The
-            # append tables (crawl_data/fetch_log/visits) are row_kind-
-            # filtered views over these files; frontier/domain_state
-            # replacements re-read the written files (no recompute).
+            # ONE physical write per wave: the unified output log,
+            # partitioned by row_kind (the wave=NNNNNN dir name is the
+            # outer partition).  The append tables (crawl_data/fetch_log/
+            # visits) are row_kind-filtered views that prune whole
+            # directories; frontier/domain_state replacements re-read only
+            # their own kind's files (no recompute).
             opath = self.catalog.wave_path("wave_out", wave)
-            out.withColumn("wave", F.lit(wave)).write.mode("overwrite").parquet(opath)
+            out.write.partitionBy("row_kind").mode("overwrite").parquet(opath)
             table_paths: dict[str, Optional[str]] = {"wave_out": opath}
             out_w = self.spark.read.parquet(opath)
 
@@ -756,14 +798,16 @@ class SparkCrawlEngine:
                 bdir = os.path.join(fpath, f"bucket={b}")
                 frontier_buckets[b] = bdir if os.path.isdir(bdir) else None
 
-            # domain_state: replace
+            # domain_state: replace.  The carry side keeps terminal domains
+            # AND permit-held members that skipped this wave (their rows
+            # pass through untouched).
             new_ds = out_w.filter(F.col("row_kind") == "domain_state").select(
                 "domain",
                 F.col("state").alias("phase"),
                 "state_json",
             ).join(domain_state.select("domain", "info_json", "top_domain"), "domain", "left")
-            terminal = domain_state.join(active.select("domain"), "domain", "left_anti")
-            new_ds = new_ds.select(*terminal.columns).unionByName(terminal)
+            carried = domain_state.join(active.select("domain"), "domain", "left_anti")
+            new_ds = new_ds.select(*carried.columns).unionByName(carried)
             dpath = self.catalog.wave_path("domain_state", wave)
             new_ds.write.mode("overwrite").parquet(dpath)
             table_paths["domain_state"] = dpath
