@@ -164,6 +164,26 @@ def test_hundred_member_topdomain_budget_and_parallelism(spark, tmp_path):
     assert dstart.min() >= 0
     assert (dstart > 10_000).any()  # later members genuinely queued behind permits
 
+    # PHYSICAL permit enforcement: per wave, at most `permits` members of
+    # the top-domain actually advanced (emitted a domain_state row) — the
+    # semaphore bound holds in the fetch path, not only in the offsets
+    # audit model (LocalDomainCoordinator.java:22-122)
+    permits = TOP_DOMAIN_PERMITS["blogspot.com"]
+    wave_paths = eng.catalog.paths("wave_out")
+    assert len(wave_paths) >= (n + permits - 1) // permits
+    advanced_total: set = set()
+    for p in wave_paths:
+        adv = {
+            r["domain"]
+            for r in spark.read.parquet(p)
+            .filter(F.col("row_kind") == "domain_state")
+            .select("domain")
+            .collect()
+        }
+        assert len(adv) <= permits, f"{len(adv)} members ran in one wave ({p})"
+        advanced_total |= adv
+    assert advanced_total == set(offs)  # every member eventually ran exactly once each slot grant
+
 
 def test_multiwave_budget_offsets_consistent(spark, tmp_path):
     """wave_budget + top_domain mode: the offsets table is recomputed from
