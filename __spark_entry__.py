@@ -514,36 +514,62 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (rows-only; signature math is not
-    SQL-expressible — verified against planted dups in tests)."""
+    """MinHash+LSH NEAR-dup pairs (threshold < 1) against a genuinely
+    independent oracle: the corpus is documents ∪ planted 90%-prefix
+    copies (exact Jaccard ≈ 0.88–0.94), and the DuckDB side computes the
+    EXACT char-5-gram Jaccard pair set at the same 0.6 threshold with
+    pure SQL set operations.  The corpus's measured J distribution has a
+    clean gap around the threshold (no pair in (0.35, 0.80)), so the
+    64-hash estimate cannot disagree with the exact answer on membership
+    — any banding recall miss or estimator drift turns the gate red."""
     from marginaliasearch_spark.operators.dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), jaccard_threshold=0.7)
-    return pairs.select(
-        "id_a", "id_b", F.floor(F.col("jaccard_est") * 1000).cast("long").alias("jaccard_est_permille")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
     )
+    allv = docs.unionByName(copies)
+    return minhash_lsh_pairs(allv, jaccard_threshold=0.6).select("id_a", "id_b")
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash NEAR-dup pairs (hamming ≤ 3) against a from-scratch oracle:
+    DuckDB recomputes the full signature pipeline FROM TEXT (k=4 byte
+    shingles → distinct → salt multiply → murmur fmix → per-bit majority
+    vote, all in HUGEINT mod-2^64 arithmetic) and brute-forces all pairs
+    with bit_count(xor) ≤ 3.  The pigeonhole 4×16-bit chunk blocking is
+    exact for hamming ≤ 3, so the distributed plan must reproduce the
+    brute force bit-for-bit — including the hamming values."""
     from marginaliasearch_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    allv = docs.unionByName(copies)
+    return simhash_pairs(allv, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Winnowing fingerprint invariant, driver-checked: identical text ⇒
-    identical fingerprint (two independent kernel passes must agree row by
-    row).  Content-sensitivity is covered by the pytest determinism tests;
-    a single-edit invariant would be wrong by design (winnowing keeps the
-    global-min window, which usually survives an edit)."""
+    """Winnowing fingerprint vs a from-scratch SQL recomputation: DuckDB
+    re-derives FNV-1a word hashes, the sliding window-8 minima, and the
+    XOR-mul fold over sorted distinct minima in HUGEINT mod-2^64
+    arithmetic (oracle/sqlgen.py) — the gate goes red if the kernel's
+    window size, tie-break, dedup, or fold rule drifts by one bit."""
     from marginaliasearch_spark.operators.textstats import doc_fingerprint
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    orig = doc_fingerprint(docs).select("doc_id", F.col("fingerprint").alias("f0"))
-    copy = doc_fingerprint(docs).select("doc_id", F.col("fingerprint").alias("f1"))
-    return orig.join(copy, "doc_id").select(
-        "doc_id", (F.col("f0") == F.col("f1")).cast("int").alias("copy_same")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
     )
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
 def q_payload_validate(spark, sf_dir):
@@ -581,7 +607,10 @@ def q_crawl_visited_set(spark, sf_dir):
 
     from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
     from marginaliasearch_spark.sources.gate_web import ensure_export, gate_web_frames
-    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
 
     ensure_export()
     pages_pdf, domains_pdf = gate_web_frames()
@@ -637,12 +666,15 @@ def q_cross_domain_discovery(spark, sf_dir):
         ensure_discovery_export,
         generate_discovery_fixture,
     )
-    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
 
     ensure_discovery_export()
     pages_rows, domains_rows, _ = generate_discovery_fixture()
     ps, dms = spark_schemas()
-    pages = spark.createDataFrame(pd.DataFrame(pages_rows), schema=ps)
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
     domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
     out_dir = tempfile.mkdtemp(prefix="msx_disc_")
     engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
@@ -677,12 +709,15 @@ def q_crawl_visit_order(spark, sf_dir):
         ensure_order_export,
         generate_order_web,
     )
-    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
 
     ensure_order_export()
     pages_rows, domains_rows, _ = generate_order_web()
     ps, dms = spark_schemas()
-    pages = spark.createDataFrame(pd.DataFrame(pages_rows), schema=ps)
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
     domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
     out_dir = tempfile.mkdtemp(prefix="msx_ord_")
     engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
@@ -787,12 +822,15 @@ def q_recrawl_retention(spark, sf_dir):
         ensure_recrawl_export,
         generate_recrawl_fixture,
     )
-    from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
 
     ensure_recrawl_export()
     pages_rows, domains_rows, prev_rows, _ = generate_recrawl_fixture()
     ps, dms = spark_schemas()
-    pages = spark.createDataFrame(pd.DataFrame(pages_rows), schema=ps)
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
     domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
     # dtype=object: pandas would otherwise decay int64+None to float64 and
     # silently corrupt the 64-bit fingerprints
@@ -819,6 +857,62 @@ def q_recrawl_retention(spark, sf_dir):
         log.withColumn("outcome", outcome)
         .filter(F.col("outcome").isNotNull())
         .select("domain", "url", "outcome")
+    )
+
+
+def q_retry_ladder(spark, sf_dir):
+    """429/5xx retry-ladder gate: the engine crawls planted transient and
+    permanent rate-limit/server-error pages; the in-client ladder
+    (429 ≤3× with Retry-After clamped [1,10]s, 500/503 ≤2× —
+    HttpFetcherImpl.java:657-706) must recover exactly the recoverable
+    ones with the planted retry count.  Outcome and retry count are
+    derived from the fetch_log audit trail (FETCH final status +
+    FETCH_RETRY rows); the oracle is the planted truth table."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_retry_export,
+        generate_retry_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+
+    ensure_retry_export()
+    pages_rows, domains_rows, _ = generate_retry_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    out_dir = tempfile.mkdtemp(prefix="msx_rl_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    engine.run_waves(pages, wave_budget=None)
+
+    log = engine.read_table("fetch_log").filter(F.col("url").contains("/r/"))
+    finals = log.filter(F.col("action") == "FETCH").select(
+        "domain",
+        "url",
+        F.when(F.col("http_status") == 200, "fetched")
+        .when(F.col("http_status") == 429, "rate_limited")
+        .when(F.col("http_status").isin(500, 503), "server_error")
+        .otherwise("other")
+        .alias("outcome"),
+    )
+    retries = (
+        log.filter(F.col("action") == "FETCH_RETRY")
+        .groupBy("url")
+        .agg(F.count("*").alias("n_retries"))
+    )
+    return (
+        finals.join(retries, "url", "left")
+        .select(
+            "domain",
+            "url",
+            "outcome",
+            F.coalesce(F.col("n_retries"), F.lit(0)).cast("long").alias("n_retries"),
+        )
     )
 
 
@@ -863,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_visit_order": q_crawl_visit_order,
         "cross_domain_discovery": q_cross_domain_discovery,
         "av_features": q_av_features,
+        "retry_ladder": q_retry_ladder,
     }
 
 
@@ -873,10 +968,18 @@ def oracle_sql() -> dict[str, str]:
         ensure_export,
         ensure_order_export,
         ensure_recrawl_export,
+        ensure_retry_export,
         order_oracle_sql,
         recrawl_oracle_sql,
+        retry_oracle_sql,
     )
     from marginaliasearch_spark.sources.gate_web import oracle_sql as gate_oracle_sql
+    from marginaliasearch_spark.oracle.sqlgen import (
+        SIMHASH_UNION_CTE,
+        minhash_exact_jaccard_sql,
+        simhash_allpairs_sql,
+        winnowing_fingerprint_sql,
+    )
 
     import os as _os
 
@@ -884,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
     rc_dir = ensure_recrawl_export()
     ord_dir = ensure_order_export()
     disc_dir = ensure_discovery_export()
+    retry_dir = ensure_retry_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
     )
@@ -898,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_retention": recrawl_oracle_sql(rc_dir),
         "crawl_visit_order": order_oracle_sql(ord_dir),
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),
+        "retry_ladder": retry_oracle_sql(retry_dir),
         "av_features": """
             SELECT printf('clip-%08d', i) AS clip_id,
                    CASE WHEN i % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
@@ -911,9 +1016,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 2 = 1 THEN (6 + (i % 5)) // 2 ELSE -1 END AS cut_idx
             FROM generate_series(0, 63) t(i)
         """,
-        "doc_fingerprint": """
-            SELECT doc_id, 1 AS copy_same FROM documents
-        """,
+        "doc_fingerprint": winnowing_fingerprint_sql(),
+        "minhash_lsh_pairs": minhash_exact_jaccard_sql(0.6),
+        "simhash_pairs": simhash_allpairs_sql(SIMHASH_UNION_CTE, 3),
         "payload_validate": """
             SELECT printf('img-%010d', i) AS image_id,
                    1 AS decode_ok, 1 AS psnr_ok,

@@ -20,9 +20,15 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 from typing import Optional, Protocol
 
 import numpy as np
+
+# determinism pin for HTTP-date Retry-After values (the reference computes
+# the delay relative to wall-clock now — HttpFetcherImpl.java:719-725; the
+# virtual clock substitutes a fixed epoch so runs are reproducible)
+_RETRY_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 from ..canon.domain import EdgeDomain
 from ..canon.linkparser import get_base_link, parse_link, parse_link_from_anchor
@@ -66,8 +72,13 @@ def _lsh64_signed(body: str) -> int:
 
 class WebLike(Protocol):
     def fetch(self, url: EdgeUrl) -> Page: ...
+    def fetch_attempt(self, url: EdgeUrl, attempt: int = 1) -> Page: ...
     def fetch_conditional(
-        self, url: EdgeUrl, etag: Optional[str] = None, last_modified: Optional[str] = None
+        self,
+        url: EdgeUrl,
+        etag: Optional[str] = None,
+        last_modified: Optional[str] = None,
+        attempt: int = 1,
     ) -> tuple[Page, bool]: ...
     def page_at(self, url: EdgeUrl) -> Optional[Page]: ...
 
@@ -281,9 +292,49 @@ class DomainCrawlSession:
             {"url": url, "action": action, "status": status, "virtual_ms": self.timer.clock_ms}
         )
 
+    def _retry_interval_ms(self, status: int, retry_after: Optional[str]) -> int:
+        """HttpFetcherImpl.getRetryInterval (ref: HttpFetcherImpl.java:
+        682-706): 503 → 5 s; 429 → Retry-After clamped [1, 10] s when
+        parseable and positive, else 2 s; everything else 2 s."""
+        from ..functions.retry_after import parse_retry_after_seconds
+
+        if status == 503:
+            return 5000
+        if status == 429:
+            secs = parse_retry_after_seconds(retry_after, now=_RETRY_EPOCH)
+            if secs > 0:
+                return max(1, min(secs, 10)) * 1000
+        return 2000
+
+    def _client_fetch(
+        self,
+        url: EdgeUrl,
+        etag: Optional[str] = None,
+        last_modified: Optional[str] = None,
+    ) -> tuple[Page, bool, int]:
+        """The HTTP client's in-client retry ladder (ref:
+        HttpFetcherImpl.retryRequest, HttpFetcherImpl.java:657-678):
+        429 retried ≤3×, 500/503 retried ≤2×, connection failures (-1,
+        the timeout/SSL/UnknownHost arms) never retried.  Each attempt
+        costs its fetch time on the virtual clock; each retry waits the
+        Retry-After-derived interval.  Returns (page, got_304, n_retries);
+        retries are audit-logged as FETCH_RETRY actions."""
+        attempt = 1
+        while True:
+            page, got304 = self.web.fetch_conditional(
+                url, etag, last_modified, attempt=attempt
+            )
+            self.timer.sleep(fetch_time_ms(str(url)))
+            s = page.status
+            retry = (s == 429 and attempt <= 3) or (s in (500, 503) and attempt <= 2)
+            if not retry:
+                return page, got304, attempt - 1
+            self._log(str(url), "FETCH_RETRY", s)
+            self.timer.sleep(self._retry_interval_ms(s, page.retry_after))
+            attempt += 1
+
     def _fetch(self, url: EdgeUrl) -> Page:
-        page = self.web.fetch(url)
-        self.timer.sleep(fetch_time_ms(str(url)))
+        page, _, _ = self._client_fetch(url)
         return page
 
     def _record(self, page: Page, url: EdgeUrl) -> None:
@@ -498,11 +549,11 @@ class DomainCrawlSession:
                 self._log(str(url), "REFERENCE_COPY", doc["http_status"])
                 skipped += 1
             else:
-                # conditional GET with the stored validators painted on
+                # conditional GET with the stored validators painted on,
+                # through the same in-client retry ladder as fresh fetches
                 tag_etag = doc.get("etag")
                 tag_lm = doc.get("last_modified")
-                page, got304 = self.web.fetch_conditional(url, tag_etag, tag_lm)
-                self.timer.sleep(fetch_time_ms(str(url)))
+                page, got304, _ = self._client_fetch(url, tag_etag, tag_lm)
                 spent = fetch_time_ms(str(url))
 
                 if got304:

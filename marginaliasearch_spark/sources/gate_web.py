@@ -241,8 +241,10 @@ def gate_web_frames():
     """(pages_pdf, domains_pdf) in the engine's synthetic-web frame schema."""
     import pandas as pd
 
+    from .synthetic_web import normalize_pages_pdf
+
     pages_rows, domains_rows, _, _ = generate_gate_web()
-    return pd.DataFrame(pages_rows), pd.DataFrame(domains_rows)
+    return normalize_pages_pdf(pd.DataFrame(pages_rows)), pd.DataFrame(domains_rows)
 
 
 def ensure_export(export_dir: str | None = None) -> str:
@@ -454,6 +456,103 @@ def ensure_recrawl_export(export_dir: str | None = None) -> str:
 def recrawl_oracle_sql(export_dir: str) -> str:
     p = os.path.join(export_dir, "gw_recrawl.parquet")
     return f"SELECT domain, url, outcome FROM read_parquet('{p}')"
+
+
+# ---------------------------------------------------------------------------
+# Retry-ladder gate fixture: planted transient/permanent 429/5xx pages.
+# The in-client retry ladder (429 ≤3× with clamped Retry-After, 500/503
+# ≤2× — HttpFetcherImpl.java:657-706, retry intervals :682-706) must
+# recover exactly the recoverable pages with the planted retry count; the
+# obstinate ones exhaust the ladder and land in the error budget.  The
+# truth table below is written from the ladder's PUBLIC contract (the
+# reference's retryRequest/getRetryInterval arithmetic), not by running
+# engine code.
+# ---------------------------------------------------------------------------
+
+RETRY_N_DOMAINS = 4
+
+# (path, base_status, transient_status, transient_count, retry_after,
+#  outcome, n_retries)
+_RETRY_CASES = [
+    ("/r/t429-ra3.html", 200, 429, 1, "3", "fetched", 1),
+    ("/r/t429-full.html", 200, 429, 3, None, "fetched", 3),
+    ("/r/t429-clamp.html", 200, 429, 2, "120", "fetched", 2),  # clamps to 10 s
+    ("/r/t429-junk.html", 200, 429, 1, "soon(tm)", "fetched", 1),  # → 2 s default
+    ("/r/perm429.html", 429, 0, 0, "2", "rate_limited", 3),
+    ("/r/t503.html", 200, 503, 2, None, "fetched", 2),
+    ("/r/t500.html", 200, 500, 1, None, "fetched", 1),
+    ("/r/perm500.html", 500, 0, 0, None, "server_error", 2),
+    ("/r/perm503.html", 503, 0, 0, None, "server_error", 2),
+    ("/r/t429-give.html", 200, 429, 9, "0", "rate_limited", 3),  # outlasts the ladder
+]
+
+
+def generate_retry_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows) — expected_rows is
+    the planted (domain, url, outcome, n_retries) truth."""
+    pages_rows, domains_rows, expected_rows = [], [], []
+    for i in range(RETRY_N_DOMAINS):
+        name = f"rl{i}.example.org"
+        domains_rows.append(
+            {
+                "domain": name, "top_domain": "example.org", "proto": "https",
+                "probe": "ok", "robots_txt": None, "site_kind": "default",
+                "crawl_depth": 10_000, "seed_urls": [], "sitemap_urls": [],
+                "generator_meta": "", "has_lemmy_config": False,
+            }
+        )
+
+        def page(path, status=200, links=(), t_status=0, t_count=0, ra=None):
+            pages_rows.append(
+                {
+                    "domain": name, "path": path, "param": None,
+                    "url": f"https://{name}{path}", "status": status,
+                    "redirect_to": None, "content_type": "text/html",
+                    "image_id": None, "base_href": None, "links": list(links),
+                    "feed_links": [], "body_marker": None, "etag": None,
+                    "last_modified": None, "body_text": None,
+                    "transient_status": t_status, "transient_count": t_count,
+                    "retry_after": ra,
+                }
+            )
+
+        page("/", links=[c[0] for c in _RETRY_CASES])
+        for path, base, t_status, t_count, ra, outcome, n_retries in _RETRY_CASES:
+            page(path, status=base, t_status=t_status, t_count=t_count, ra=ra)
+            expected_rows.append(
+                {
+                    "domain": name,
+                    "url": f"https://{name}{path}",
+                    "outcome": outcome,
+                    "n_retries": n_retries,
+                }
+            )
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_retry_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_retry_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("retry", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_retry_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_retry.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def retry_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_retry.parquet")
+    return (
+        f"SELECT domain, url, outcome, CAST(n_retries AS BIGINT) AS n_retries"
+        f" FROM read_parquet('{p}')"
+    )
 
 
 # ---------------------------------------------------------------------------

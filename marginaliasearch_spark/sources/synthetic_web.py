@@ -52,6 +52,18 @@ class Page:
     etag: Optional[str] = None
     last_modified: Optional[str] = None
     body_text: Optional[str] = None  # synthetic HTML body (LSH content arm)
+    # transient-failure model for the in-client retry ladder
+    # (HttpFetcherImpl.java:657-706): the first ``transient_count``
+    # attempts of every fetch of this page answer ``transient_status``
+    # (429/500/503, with ``retry_after`` as the Retry-After header);
+    # later attempts serve the real page.  0 = always healthy.
+    transient_status: int = 0
+    transient_count: int = 0
+    retry_after: Optional[str] = None
+    # status served to the probe's HEAD request when nonzero (models
+    # HEAD-misbehaving servers — the probe walk's GET-retry arm,
+    # HttpFetcherImpl.java:292-300); 0 = same as GET
+    head_status: int = 0
 
 
 @dataclass
@@ -82,6 +94,22 @@ def conditional_304(page: Page, etag: Optional[str], last_modified: Optional[str
     return False
 
 
+def _apply_transient(page: Page, url: EdgeUrl, attempt: int) -> Page:
+    """First ``transient_count`` attempts of a transient page answer the
+    transient status with no body (a 429/5xx response carries nothing the
+    crawler stores), preserving the Retry-After header."""
+    if page.transient_status and attempt <= page.transient_count:
+        return Page(
+            str(url),
+            url.domain.address,
+            url.path,
+            url.param,
+            page.transient_status,
+            retry_after=page.retry_after,
+        )
+    return page
+
+
 class SyntheticWeb:
     def __init__(self, domains: dict[str, DomainSpec], pages: dict):
         self.domains = domains
@@ -101,11 +129,21 @@ class SyntheticWeb:
             return Page(str(url), url.domain.address, url.path, url.param, 404)
         return page
 
+    def fetch_attempt(self, url: EdgeUrl, attempt: int = 1) -> Page:
+        """Attempt-aware fetch: the first ``transient_count`` attempts of a
+        transient page answer the transient status (body-less, carrying
+        Retry-After); the retry ladder in the session drives ``attempt``."""
+        return _apply_transient(self.fetch(url), url, attempt)
+
     def fetch_conditional(
-        self, url: EdgeUrl, etag: Optional[str] = None, last_modified: Optional[str] = None
+        self,
+        url: EdgeUrl,
+        etag: Optional[str] = None,
+        last_modified: Optional[str] = None,
+        attempt: int = 1,
     ) -> tuple[Page, bool]:
         """(page, got_304) — conditional GET with reference tags."""
-        page = self.fetch(url)
+        page = self.fetch_attempt(url, attempt)
         return page, conditional_304(page, etag, last_modified)
 
     def all_pages(self) -> list[Page]:
@@ -369,6 +407,9 @@ def generate_web(
             r = prng.random()
             status = 200
             redirect_to = None
+            transient_status = 0
+            transient_count = 0
+            retry_after = None
             if idx > 0:  # root always 200 so sniffing has something to chew on
                 if r < 0.04:
                     status = 404
@@ -384,6 +425,25 @@ def generate_web(
                     status = 429
                 elif r < 0.11:
                     status = -1
+                elif r < 0.125:
+                    # flaky rate-limiter: ≤3 transient 429s then OK — the
+                    # in-client retry ladder must recover these
+                    transient_status = 429
+                    transient_count = 1 + int(prng.integers(0, 3))
+                    retry_after = [None, "3", "0", "120", "soon(tm)"][
+                        int(prng.integers(0, 5))
+                    ]
+                elif r < 0.135:
+                    # flaky backend: ≤2 transient 5xx then OK
+                    transient_status = 503 if prng.random() < 0.5 else 500
+                    transient_count = 1 + int(prng.integers(0, 2))
+                elif r < 0.14:
+                    # obstinate rate-limiter: still 429 after every retry —
+                    # the ladder exhausts and the page lands in the error
+                    # budget exactly like a hard 429
+                    transient_status = 429
+                    transient_count = 99
+                    retry_after = "2"
 
             links: list[str] = []
             image_id = None
@@ -435,6 +495,9 @@ def generate_web(
                 etag=etag,
                 last_modified=last_modified,
                 body_text=body_text,
+                transient_status=transient_status,
+                transient_count=transient_count,
+                retry_after=retry_after,
             )
             pages[(name, path, param)] = page
 
@@ -521,6 +584,10 @@ def web_to_frames(web: SyntheticWeb):
                 "etag": p.etag,
                 "last_modified": p.last_modified,
                 "body_text": p.body_text,
+                "transient_status": p.transient_status,
+                "transient_count": p.transient_count,
+                "retry_after": p.retry_after,
+                "head_status": p.head_status,
             }
         )
     drows = []
@@ -541,6 +608,23 @@ def web_to_frames(web: SyntheticWeb):
             }
         )
     return pd.DataFrame(prows), pd.DataFrame(drows)
+
+
+_PAGE_DEFAULTS = {
+    "transient_status": 0,
+    "transient_count": 0,
+    "retry_after": None,
+    "head_status": 0,
+}
+
+
+def normalize_pages_pdf(pdf):
+    """Fill schema columns a hand-built fixture omitted with their defaults
+    (new optional columns never break existing fixtures)."""
+    for col, default in _PAGE_DEFAULTS.items():
+        if col not in pdf.columns:
+            pdf[col] = default
+    return pdf
 
 
 def spark_schemas():
@@ -566,6 +650,10 @@ def spark_schemas():
             T.StructField("etag", T.StringType()),
             T.StructField("last_modified", T.StringType()),
             T.StructField("body_text", T.StringType()),
+            T.StructField("transient_status", T.IntegerType()),
+            T.StructField("transient_count", T.IntegerType()),
+            T.StructField("retry_after", T.StringType()),
+            T.StructField("head_status", T.IntegerType()),
         ]
     )
     domains = T.StructType(
@@ -620,6 +708,10 @@ class DomainPagesWeb:
                 etag=_nn(rec.get("etag")),
                 last_modified=_nn(rec.get("last_modified")),
                 body_text=_nn(rec.get("body_text")),
+                transient_status=int(_nn(rec.get("transient_status")) or 0),
+                transient_count=int(_nn(rec.get("transient_count")) or 0),
+                retry_after=_nn(rec.get("retry_after")),
+                head_status=int(_nn(rec.get("head_status")) or 0),
             )
             self._pages[(page.domain, page.path, page.param)] = page
 
@@ -634,10 +726,17 @@ class DomainPagesWeb:
             return Page(str(url), url.domain.address, url.path, url.param, 404)
         return page
 
+    def fetch_attempt(self, url: EdgeUrl, attempt: int = 1) -> Page:
+        return _apply_transient(self.fetch(url), url, attempt)
+
     def fetch_conditional(
-        self, url: EdgeUrl, etag: Optional[str] = None, last_modified: Optional[str] = None
+        self,
+        url: EdgeUrl,
+        etag: Optional[str] = None,
+        last_modified: Optional[str] = None,
+        attempt: int = 1,
     ) -> tuple[Page, bool]:
-        page = self.fetch(url)
+        page = self.fetch_attempt(url, attempt)
         return page, conditional_304(page, etag, last_modified)
 
 

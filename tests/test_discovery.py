@@ -9,7 +9,10 @@ import pyspark.sql.functions as F
 from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
 from marginaliasearch_spark.plans.discovery import next_cycle_atags
 from marginaliasearch_spark.plans.frontier_dedup import FrontierDedup
-from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+from marginaliasearch_spark.sources.synthetic_web import (
+    normalize_pages_pdf,
+    spark_schemas,
+)
 
 
 def _web(spark):
@@ -44,7 +47,7 @@ def _web(spark):
     ]
     ps, ds = spark_schemas()
     return (
-        spark.createDataFrame(pd.DataFrame(rows), schema=ps),
+        spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(rows)), schema=ps),
         spark.createDataFrame(pd.DataFrame(drows), schema=ds),
     )
 

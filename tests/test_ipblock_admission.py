@@ -6,7 +6,10 @@ import pandas as pd
 import pyspark.sql.functions as F
 
 from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
-from marginaliasearch_spark.sources.synthetic_web import spark_schemas
+from marginaliasearch_spark.sources.synthetic_web import (
+    normalize_pages_pdf,
+    spark_schemas,
+)
 
 
 def _mini_web(spark, domains):
@@ -41,7 +44,7 @@ def _mini_web(spark, domains):
         )
     ps, ds = spark_schemas()
     return (
-        spark.createDataFrame(pd.DataFrame(rows), schema=ps),
+        spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(rows)), schema=ps),
         spark.createDataFrame(pd.DataFrame(drows), schema=ds),
     )
 

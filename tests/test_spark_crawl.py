@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from marginaliasearch_spark.oracle import OracleCrawler
 from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
 from marginaliasearch_spark.sources.synthetic_web import (
+    normalize_pages_pdf,
     generate_web,
     spark_schemas,
     web_to_frames,
@@ -194,7 +195,7 @@ def test_refused_state_survives_compaction(spark, tmp_path):
         "sitemap_urls": [], "generator_meta": "", "has_lemmy_config": False,
     }]
     ps, ds = spark_schemas()
-    pages = spark.createDataFrame(pd.DataFrame(rows), schema=ps)
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(rows)), schema=ps)
     doms = spark.createDataFrame(pd.DataFrame(drows), schema=ds)
     eng = SparkCrawlEngine(spark, str(tmp_path / "rf"), seed=42, n_buckets=4)
     eng.init_run(doms, doms.select("domain", "crawl_depth", "seed_urls"))
@@ -233,7 +234,7 @@ def test_refused_reprobe_candidates(spark, tmp_path):
         "sitemap_urls": [], "generator_meta": "", "has_lemmy_config": False,
     }]
     ps, ds = spark_schemas()
-    pages = spark.createDataFrame(pd.DataFrame(rows), schema=ps)
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(rows)), schema=ps)
     doms = spark.createDataFrame(pd.DataFrame(drows), schema=ds)
     eng = SparkCrawlEngine(spark, str(tmp_path / "rp"), seed=42, n_buckets=4)
     eng.init_run(doms, doms.select("domain", "crawl_depth", "seed_urls"))

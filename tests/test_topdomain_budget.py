@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from marginaliasearch_spark.plans.crawl import SparkCrawlEngine, _schedule_offsets
 from marginaliasearch_spark.sources.synthetic_web import (
+    normalize_pages_pdf,
     generate_web,
     spark_schemas,
     web_to_frames,
@@ -118,7 +119,7 @@ def test_hundred_member_topdomain_budget_and_parallelism(spark, tmp_path):
             "body_text": None,
         })
     ps, ds = spark_schemas()
-    pages = spark.createDataFrame(pd.DataFrame(rows), schema=ps)
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(rows)), schema=ps)
     doms = spark.createDataFrame(pd.DataFrame(drows), schema=ds)
     eng = SparkCrawlEngine(spark, str(tmp_path / "big"), seed=SEED, n_buckets=8)
     eng.init_run(doms, doms.select("domain", "crawl_depth", "seed_urls"))

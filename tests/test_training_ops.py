@@ -62,6 +62,44 @@ def test_minhash_lsh_pairs_finds_near_dups(spark, docs):
     assert (99990001, 99990002) in found
 
 
+def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
+    """Estimator-accuracy band over the gate corpus (documents ∪ 90%-prefix
+    copies): every emitted pair's 64-hash jaccard_est stays within 0.15 of
+    the exact Jaccard over the hashed char-5-shingle sets — the numeric
+    half of the minhash_lsh_pairs gate (its pair SET is oracle-checked by
+    the driver against exact SQL Jaccard)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from marginaliasearch_spark.operators.dedup import (
+        _shingle_hashes,
+        minhash_lsh_pairs,
+    )
+
+    base = docs.select("doc_id", "text")
+    copies = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.9) as int))").alias(
+            "text"
+        ),
+    )
+    allv = base.unionByName(copies)
+    texts = {r["doc_id"]: r["text"] for r in allv.collect()}
+    pairs = minhash_lsh_pairs(allv, jaccard_threshold=0.6).collect()
+    assert pairs
+    sets = {
+        i: set(np.unique(_shingle_hashes(t.lower(), 5)).tolist())
+        for i, t in texts.items()
+    }
+    worst = 0.0
+    for r in pairs:
+        sa, sb = sets[r["id_a"]], sets[r["id_b"]]
+        inter = len(sa & sb)
+        exact = inter / (len(sa) + len(sb) - inter)
+        worst = max(worst, abs(r["jaccard_est"] - exact))
+    assert worst <= 0.15, worst
+
+
 def test_simhash_pairs(spark, docs):
     from marginaliasearch_spark.operators.dedup import simhash_pairs, simhash_batch
 
