@@ -179,18 +179,21 @@ class DomainCrawlSession:
         if fst is not None:
             self.frontier.add_first(fst.with_path_and_param("/", None))
 
-        if info.probe == "error":
+        kind, payload = self._probe_root()
+        if kind == "error":
             self.phase = "error"
             return self.phase
-        if info.probe.startswith("redirect:"):
+        if kind == "redirect":
             self.phase = "redirect"
             return self.phase
 
-        probed = EdgeUrl(info.proto, self.edge_domain, None, "/", None)
+        probed = payload.with_path_and_param("/", None)
         self.frontier.supports_https = probed.proto == "https"
 
         self.rules = parse_robots_txt(info.robots_txt, USER_AGENT)
-        self.timer = Timer(self.rules.crawl_delay_ms)
+        # the walk's probe time stays on the clock (the timer only learns
+        # its crawl delay here, it doesn't reset)
+        self.timer = Timer(self.rules.crawl_delay_ms, clock_ms=self.timer.clock_ms)
         self.timer.sleep(1000)  # post-probe politeness sleep
 
         if not self.rules.is_allowed(str(probed)):
@@ -222,6 +225,62 @@ class DomainCrawlSession:
 
         self.phase = "active"
         return self.phase
+
+    # ------------------------------------------------------------------
+    # domain probe (HEAD walk)
+    # ------------------------------------------------------------------
+
+    def _probe_root(self) -> tuple[str, object]:
+        """Probe https://domain/ first, falling back to http when the
+        https walk errors (DomainProber.java:36-67; the retriever always
+        starts from an https root — CrawlerRetreiver.java:276-279).
+        Returns ("ok", EdgeUrl) | ("redirect", domain) | ("error", why)."""
+        res = self._probe_walk(EdgeUrl("https", self.edge_domain, None, "/", None))
+        if res[0] == "error":
+            res = self._probe_walk(EdgeUrl("http", self.edge_domain, None, "/", None))
+        return res
+
+    def _probe_walk(self, start: EdgeUrl) -> tuple[str, object]:
+        """One probe walk (HttpFetcherImpl.probeDomain, :236-323): up to 4
+        HEAD hops; 200/206 → Ok(START url); same-domain 3xx → keep walking
+        (1 s between hops); cross-domain 3xx → Redirect; connection
+        failure → Error (the exception arm — no GET retry); any other
+        status once → retry the START url with GET, twice → Error.  Each
+        request rides the in-client retry ladder, exactly like the
+        reference's shared HTTP client."""
+        urls = [start]
+        redirects = 0
+        try_get = False
+        while urls:
+            redirects += 1
+            if redirects >= 5:
+                break
+            top = urls.pop(0)
+            page, _, _ = self._client_fetch(top)
+            status = page.status
+            if not try_get and page.head_status:
+                status = page.head_status
+            self._log(str(top), "PROBE_GET" if try_get else "PROBE_HEAD", status)
+            if status in (200, 206):
+                return ("ok", start)
+            if status in (301, 302, 307):
+                loc = parse_link(top, page.redirect_to) if page.redirect_to else None
+                if loc is None:
+                    return ("error", "bad location header on redirect")
+                if loc.domain == top.domain:
+                    urls.append(loc)
+                else:
+                    return ("redirect", loc.domain.address)
+            elif status == -1:
+                return ("error", "connection failure during probe")
+            else:
+                if not try_get:
+                    try_get = True
+                    urls.append(start)
+                else:
+                    return ("error", f"status {status}, tried HEAD and GET")
+            self.timer.sleep(1000)  # pre-robots pacing between hops
+        return ("error", "failed to resolve domain root")
 
     # ------------------------------------------------------------------
     # BFS waves

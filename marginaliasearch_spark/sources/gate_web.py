@@ -41,7 +41,7 @@ import tempfile
 import numpy as np
 
 GATE_SEED = 7
-N_DOMAINS = 10
+N_DOMAINS = 12  # 10=internal-redirect root, 11=HEAD-405 root (probe walk arms)
 
 
 def _fingerprinted_dir(tag: str, rows) -> str:
@@ -173,7 +173,25 @@ def generate_gate_web():
         for idx, path in enumerate(paths):
             rng = np.random.default_rng([GATE_SEED, i, idx])
             status, redirect_to = 200, None
-            if idx > 0:
+            head_status = 0
+            if idx == 0:
+                # probe-walk classification arms (DomainProber.java:36-67,
+                # HttpFetcherImpl.java:236-323): the engine must DISCOVER
+                # these through the HEAD walk, not read a static fact
+                if i == 5:  # error probe: 500 to HEAD and to the GET retry
+                    status = 500
+                elif i == 6:  # cross-domain redirect probe
+                    status = 301
+                    redirect_to = "https://www.elsewhere.example.com/"
+                elif i == 10:  # same-domain redirect root: walk hops, Ok;
+                    # the sniff's ResultRedirect arm then addFirst()s it
+                    status = 301
+                    redirect_to = urls[1]
+                elif i == 11:  # HEAD-misbehaving root: 405 → GET retry → 200
+                    head_status = 405
+            if idx > 0 and not (i == 10 and idx == 1):
+                # (domain 10's /p1.html is the planted redirect-root target
+                # and must answer 200 so the probe walk terminates Ok)
                 r = rng.random()
                 if r < 0.08:
                     status = 404
@@ -232,6 +250,7 @@ def generate_gate_web():
                     "etag": None,
                     "last_modified": None,
                     "body_text": None,
+                    "head_status": head_status,
                 }
             )
     return pages_rows, domains_rows, gw_domains, gw_links

@@ -410,7 +410,18 @@ def generate_web(
             transient_status = 0
             transient_count = 0
             retry_after = None
-            if idx > 0:  # root always 200 so sniffing has something to chew on
+            if idx == 0:
+                # the probe classification is DISCOVERED by the walk
+                # (DomainProber.java:36-67), so the root page serves the
+                # behavior the spec's probe fact describes: a redirect
+                # probe is a cross-domain 301 root, an error probe is a
+                # root that 500s under HEAD and GET alike
+                if probe.startswith("redirect:"):
+                    status = 301
+                    redirect_to = f"https://{probe.split(':', 1)[1]}/"
+                elif probe == "error":
+                    status = 500
+            if idx > 0:  # healthy roots stay 200 so sniffing has content
                 if r < 0.04:
                     status = 404
                 elif r < 0.07:
@@ -500,6 +511,30 @@ def generate_web(
                 retry_after=retry_after,
             )
             pages[(name, path, param)] = page
+
+        # probe-walk arms on healthy domains:
+        # - every 13th: internal-redirect root (root 301 → /home.html; the
+        #   walk hops same-domain and returns Ok, then the sniff's
+        #   ResultRedirect arm addFirst()s the target —
+        #   CrawlerRetreiver.java:305-311)
+        # - every 17th: HEAD-misbehaving root (405 to HEAD, 200 to GET —
+        #   the walk's try-GET arm, HttpFetcherImpl.java:292-300)
+        if probe == "ok" and i % 13 == 4:
+            root = pages[(name, "/", None)]
+            pages[(name, "/home.html", None)] = Page(
+                url=f"{proto}://{name}/home.html", domain=name,
+                path="/home.html", param=None, status=200,
+                content_type=root.content_type, image_id=root.image_id,
+                links=root.links, feed_links=root.feed_links,
+                body_marker=root.body_marker, etag=root.etag,
+                last_modified=root.last_modified, body_text=root.body_text,
+            )
+            pages[(name, "/", None)] = Page(
+                url=root.url, domain=name, path="/", param=None,
+                status=301, redirect_to=f"{proto}://{name}/home.html",
+            )
+        if probe == "ok" and i % 17 == 6:
+            pages[(name, "/", None)].head_status = 405
 
         # favicon + feed endpoint extras
         if i % 2 == 0:
