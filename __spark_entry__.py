@@ -590,6 +590,7 @@ def q_payload_validate(spark, sf_dir):
         F.col("psnr_ok").cast("int").alias("psnr_ok"),
         F.col("caption_ok").cast("int").alias("caption_ok"),
         F.col("phash_match").cast("int").alias("phash_match"),
+        "codec",
     )
 
 
@@ -1013,7 +1014,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 2 = 0 THEN 7 ELSE 0 END AS n_windows,
                    CASE WHEN i % 2 = 1 THEN 6 + (i % 5) ELSE 0 END AS n_frames,
                    CASE WHEN i % 2 = 1 THEN (6 + (i % 5) + 1) // 2 ELSE 0 END AS n_sampled_k2,
-                   CASE WHEN i % 2 = 1 THEN (6 + (i % 5)) // 2 ELSE -1 END AS cut_idx
+                   CASE WHEN i % 2 = 1 THEN (6 + (i % 5)) // 2 ELSE -1 END AS cut_idx,
+                   'stub' AS codec
             FROM generate_series(0, 63) t(i)
         """,
         "doc_fingerprint": winnowing_fingerprint_sql(),
@@ -1022,7 +1024,8 @@ def oracle_sql() -> dict[str, str]:
         "payload_validate": """
             SELECT printf('img-%010d', i) AS image_id,
                    1 AS decode_ok, 1 AS psnr_ok,
-                   1 AS caption_ok, 1 AS phash_match
+                   1 AS caption_ok, 1 AS phash_match,
+                   'stub' AS codec
             FROM generate_series(0, 63) t(i)
         """,
         "minhash_dup_pairs": """

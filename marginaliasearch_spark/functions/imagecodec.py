@@ -4,14 +4,16 @@ The crawl payload per BASELINE.json ``input_hint`` is an image+caption pair
 ``(image_id, bytes, w, h, fmt, caption, phash)`` with a per-row invariant of
 decoded-pixel allclose (PSNR ≥ 40 dB for lossy formats).
 
-NOTE — codec stub: this container has no image libraries (no PIL/turbojpeg),
-so real PNG/JPEG/WEBP codecs are STUBBED with a deterministic stand-in
-container format ("MSPK"): zlib-compressed raw pixels, with an optional
-6-bit quantization stage standing in for lossy compression (PSNR ≈ 46 dB,
-satisfying the ≥ 40 dB invariant).  The Spark-side plumbing — binary
-columns, Arrow batch shapes, mapInPandas decode/validate signatures — is
-real and is what the tests exercise; swap ``encode_image``/``decode_image``
-for PIL/libjpeg calls in production.
+Codec dispatch: ``decode_image`` sniffs the container's magic bytes.
+Real PNG/JPEG/WEBP payloads decode through PIL when it is importable
+(``HAVE_PIL``); the deterministic "MSPK" stand-in container
+(zlib-compressed raw pixels, with 6-bit quantization standing in for
+lossy compression at PSNR ≈ 46 dB) always works and is what this
+image-library-free sandbox exercises.  Which backend handled a payload is
+surfaced per row by the validate plan (``image_backend_of``).  The
+Spark-side plumbing — binary columns, Arrow batch shapes, mapInPandas
+decode/validate signatures — is identical under both backends; a
+skipped-unless-PIL test drives the real path end-to-end.
 
 The perceptual hash is the classic pHash construction: 32×32 grayscale →
 2D DCT-II → top-left 8×8 (skipping DC) → median threshold → 64 bits.
@@ -28,19 +30,54 @@ import zlib
 
 import numpy as np
 
+# pluggable real codec: PIL decodes/encodes actual PNG/JPEG/WEBP when
+# installed; the deterministic MSPK stand-in is always available and is
+# selected by container sniffing (magic bytes), exactly how a production
+# decode path dispatches
+try:  # pragma: no cover - container has no PIL; exercised where it does
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+IMAGE_BACKEND = "pil" if HAVE_PIL else "stub"
+
 MAGIC = b"MSPK"
 LOSSY_FORMATS = frozenset({"jpeg", "webp"})
 _FMT_CODES = {"png": 0, "jpeg": 1, "webp": 2}
 _FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
 
 
-def encode_image(arr: np.ndarray, fmt: str) -> bytes:
-    """arr: HxWx3 uint8 → container bytes.  Lossy fmts quantize to 6 bits."""
+def image_backend_of(data: bytes) -> str:
+    """Which decoder a payload will route to: 'stub' for the MSPK
+    container, 'pil' for real formats when PIL is importable, 'none'
+    otherwise (decode will raise)."""
+    if data and bytes(data[:4]) == MAGIC:
+        return "stub"
+    return "pil" if HAVE_PIL else "none"
+
+
+def encode_image(arr: np.ndarray, fmt: str, backend: str = "stub") -> bytes:
+    """arr: HxWx3 uint8 → container bytes.
+
+    backend='stub' (default, always available, deterministic): MSPK
+    container, lossy fmts quantized to 6 bits.  backend='pil': real
+    PNG/JPEG/WEBP bytes via PIL (raises if PIL is absent)."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("expected HxWx3 uint8")
-    h, w, _ = arr.shape
     if fmt not in _FMT_CODES:
         raise ValueError(f"unknown fmt {fmt!r}")
+    if backend == "pil":
+        if not HAVE_PIL:
+            raise ValueError("PIL not available for backend='pil'")
+        import io
+
+        buf = io.BytesIO()
+        _PILImage.fromarray(arr, "RGB").save(buf, format=fmt.upper())
+        return buf.getvalue()
+    h, w, _ = arr.shape
     payload = arr
     if fmt in LOSSY_FORMATS:
         payload = (arr >> 2).astype(np.uint8)  # 6-bit quantization (lossy stand-in)
@@ -49,9 +86,22 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """container bytes → (HxWx3 uint8, fmt).  Raises ValueError on corruption."""
-    if not data or data[:4] != MAGIC:
-        raise ValueError("bad magic")
+    """container bytes → (HxWx3 uint8, fmt), dispatched on magic bytes:
+    MSPK → deterministic stub; anything else → PIL when installed.
+    Raises ValueError on corruption or an undecodable container."""
+    if not data:
+        raise ValueError("empty payload")
+    data = bytes(data)
+    if data[:4] != MAGIC:
+        if HAVE_PIL:
+            import io
+
+            with _PILImage.open(io.BytesIO(data)) as im:
+                fmt = (im.format or "").lower()
+                fmt = {"jpg": "jpeg"}.get(fmt, fmt)
+                arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            return arr, fmt
+        raise ValueError("bad magic (and no real codec installed)")
     fmt_code, w, h = struct.unpack("<BHH", data[4:9])
     fmt = _FMT_NAMES.get(fmt_code)
     if fmt is None:

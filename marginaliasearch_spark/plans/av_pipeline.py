@@ -31,6 +31,7 @@ AV_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_frames", T.IntegerType()),   # video: total frames
         T.StructField("n_sampled_k2", T.IntegerType()),  # video: frames at k=2
         T.StructField("cut_idx", T.IntegerType()),    # video: first shot cut (-1: none)
+        T.StructField("codec", T.StringType()),       # which decoder handled the row
     ]
 )
 
@@ -40,9 +41,11 @@ def extract_av_features(clips: DataFrame, window: int = 1024) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.avcodec import (
+            audio_backend_of,
             audio_features,
             decode_audio,
             iter_video_frames,
+            video_backend_of,
             video_meta,
         )
         from ..functions.imagecodec import hamming64, phash64
@@ -54,9 +57,15 @@ def extract_av_features(clips: DataFrame, window: int = 1024) -> DataFrame:
                     "clip_id": rec["clip_id"], "kind": rec["kind"],
                     "decode_ok": 0, "peak_mhz": 0, "n_windows": 0,
                     "n_frames": 0, "n_sampled_k2": 0, "cut_idx": -1,
+                    "codec": "none",
                 }
                 try:
                     data = bytes(rec["bytes"])
+                    out["codec"] = (
+                        audio_backend_of(data)
+                        if rec["kind"] == "audio"
+                        else video_backend_of(data)
+                    )
                     if rec["kind"] == "audio":
                         wave, sr = decode_audio(data)
                         f = audio_features(wave, sr, window=window)

@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.imagecodec import LOSSY_FORMATS, decode_image, hamming64, phash64, psnr
+from ..functions.imagecodec import (
+    LOSSY_FORMATS,
+    decode_image,
+    hamming64,
+    image_backend_of,
+    phash64,
+    psnr,
+)
 from ..sources.corpus import make_caption, make_image
 
 VERDICT_SCHEMA = T.StructType(
@@ -34,6 +41,7 @@ VERDICT_SCHEMA = T.StructType(
         T.StructField("caption_ok", T.BooleanType()),
         T.StructField("phash_match", T.BooleanType()),
         T.StructField("phash_hamming", T.IntegerType()),
+        T.StructField("codec", T.StringType()),  # which decoder handled the row
     ]
 )
 
@@ -54,6 +62,9 @@ def validate_payloads(corpus: DataFrame, seed: int = 42, psnr_min: float = 40.0)
                 "caption_ok": np.zeros(n, dtype=bool),
                 "phash_match": np.zeros(n, dtype=bool),
                 "phash_hamming": np.zeros(n, dtype=np.int32),
+                "codec": [
+                    image_backend_of(bytes(b)) for b in pdf["bytes"]
+                ],
             }
             for i in range(n):
                 image_id = pdf["image_id"].iloc[i]
