@@ -96,6 +96,51 @@ def main() -> None:
         F.sum("recrawl_skipped").alias("skipped"),
     ).collect()[0]
 
+    # ---- discovery cycles: 3 × (crawl → edge harvest → canonicalize →
+    # global Bloom admission → next-cycle atags) against one persistent
+    # URL-seen service.  Asserts the convergence invariants at bench
+    # scale: monotone seen growth, zero re-admissions once seen.
+    from marginaliasearch_spark.functions.udfs import canonicalize
+    from marginaliasearch_spark.plans.discovery import next_cycle_atags
+    from marginaliasearch_spark.plans.frontier_dedup import FrontierDedup
+
+    fd = FrontierDedup(
+        spark, tempfile.mkdtemp(prefix="msx_fd_"), n_buckets=32,
+        m_bits_per_bucket=1 << 22,
+    )
+    atags = None
+    disc_cycles = []
+    for c in range(3):
+        ec = SparkCrawlEngine(
+            spark, tempfile.mkdtemp(prefix=f"msx_dc{c}_"), seed=seed, n_buckets=32
+        )
+        t0 = time.perf_counter()
+        ec.init_run(domains, specs)
+        ec.run_waves(pages, wave_budget=None, atags_df=atags)
+        n_vis = ec.read_table("visits").count()
+        visited = ec.read_table("visits").select(
+            canonicalize(F.col("url"))["url_hash"].alias("url_hash"), "url"
+        )
+        new_seen = fd.ingest(visited).count()
+        atags = next_cycle_atags(ec.read_table("edges"), fd).cache()
+        n_admitted = atags.count()
+        seen_total = fd.seen().count()
+        wall = time.perf_counter() - t0
+        disc_cycles.append(
+            {
+                "cycle": c,
+                "wall_sec": round(wall, 2),
+                "visited": n_vis,
+                "new_seen_keys": new_seen,
+                "admitted_discoveries": n_admitted,
+                "seen_total": seen_total,
+                "urls_per_sec": round(n_vis / wall, 1),
+            }
+        )
+    assert disc_cycles[0]["seen_total"] <= disc_cycles[1]["seen_total"] <= disc_cycles[2]["seen_total"]
+    assert disc_cycles[1]["new_seen_keys"] == 0, "re-admission of cycle-1 URLs"
+    assert disc_cycles[2]["admitted_discoveries"] == 0, "discovery loop failed to converge"
+
     result = {
         "metric": "two-cycle crawl: discovery then conditional-fetch recrawl (URLs visited/s)",
         "domains": n_domains,
@@ -111,6 +156,7 @@ def main() -> None:
         "recrawled": int(meta["recrawled"] or 0),
         "retained": int(meta["retained"] or 0),
         "skipped": int(meta["skipped"] or 0),
+        "discovery_cycles": disc_cycles,
     }
     print(json.dumps(result))
 
@@ -124,7 +170,18 @@ def main() -> None:
         f"{int(meta['retained'] or 0):,} retained / "
         f"{int(meta['skipped'] or 0):,} sampler-skipped.  A static web with "
         "stored validators retains most documents via 304/header/LSH — the "
-        "production steady state where bandwidth is spent only on change.\n"
+        "production steady state where bandwidth is spent only on change.\n\n"
+        "### Discovery cycles (crawl → harvest → Bloom admission ×3)\n\n"
+        "| cycle | wall s | visited | new seen keys | admitted discoveries | seen total |\n"
+        "|---|---|---|---|---|---|\n"
+        + "".join(
+            f"| {d['cycle']} | {d['wall_sec']} | {d['visited']:,} | "
+            f"{d['new_seen_keys']:,} | {d['admitted_discoveries']:,} | "
+            f"{d['seen_total']:,} |\n"
+            for d in disc_cycles
+        )
+        + "\nInvariants asserted in-bench: monotone seen growth, zero\n"
+        "re-admissions after cycle 1, loop converges (cycle 3 admits 0).\n"
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
         f.write(md)

@@ -77,3 +77,45 @@ def test_discovery_loop_feeds_next_cycle(spark, tmp_path):
     e2.run_waves(pages, wave_budget=None, atags_df=atags)
     v2 = {r["url"] for r in e2.read_table("visits").collect()}
     assert "https://b.example.org/orphan.html" in v2  # discovered & crawled
+
+
+def test_multi_cycle_discovery_converges(spark, tmp_path):
+    """Two full crawl → discovery → admission cycles against the global
+    URL-seen service: the seen-set grows monotonically, cycle 2 re-admits
+    ZERO cycle-1 URLs, the loop converges (nothing left to discover), and
+    the refused-re-probe lineage yields a usable atags frame."""
+    from marginaliasearch_spark.functions.udfs import canonicalize
+
+    pages, doms = _web(spark)
+    specs = doms.select("domain", "crawl_depth", "seed_urls")
+    fd = FrontierDedup(spark, str(tmp_path / "seen"), n_buckets=8,
+                       m_bits_per_bucket=1 << 16)
+
+    seen_sizes, admitted_counts = [], []
+    atags = None
+    for c in range(3):
+        eng = SparkCrawlEngine(spark, str(tmp_path / f"cy{c}"), seed=42, n_buckets=4)
+        eng.init_run(doms, specs)
+        eng.run_waves(pages, wave_budget=None, atags_df=atags)
+        # global seen-set learns everything this cycle VISITED, then the
+        # admission step filters the cycle's cross-domain discoveries
+        visited = eng.read_table("visits").select(
+            canonicalize(F.col("url"))["url_hash"].alias("url_hash"), "url"
+        )
+        fd.ingest(visited)
+        atags = next_cycle_atags(eng.read_table("edges"), fd).cache()
+        admitted_counts.append(atags.count())
+        seen_sizes.append(fd.seen().count())
+        # refused-re-probe lineage shape: (domain, pos, url), usable as atags
+        rp = eng.refused_reprobe_candidates(probe_fraction=1.0)
+        assert rp.columns == ["domain", "pos", "url"]
+
+    # cycle 1 discovers the orphan; afterwards the loop is dry — the
+    # seen-set rejects every re-discovery (zero re-admissions)
+    assert admitted_counts[0] == 1
+    assert admitted_counts[1] == 0
+    assert admitted_counts[2] == 0
+    # the seen-set reaches the full 5-URL universe in cycle 1 (4 visited +
+    # the admitted orphan) and stays at that fixed point: monotone, and
+    # cycle 2's visit of the orphan re-admits nothing
+    assert seen_sizes == [5, 5, 5]
