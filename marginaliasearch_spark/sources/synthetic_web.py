@@ -24,6 +24,7 @@ Fetch semantics implemented by ``SyntheticWeb.fetch``:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -775,8 +776,10 @@ class DomainPagesWeb:
         return page, conditional_304(page, etag, last_modified)
 
 
+@lru_cache(maxsize=1 << 16)
 def fetch_time_ms(url: str) -> int:
-    """Deterministic simulated fetch duration for the virtual clock."""
+    """Deterministic simulated fetch duration for the virtual clock.
+    Cached — the session consults it 2-3× per fetched URL."""
     from ..canon.murmur import hash_nearly_ascii
 
     return 50 + (hash_nearly_ascii(url) % 300)
