@@ -631,6 +631,41 @@ def generate_order_web():
             expected_rows.append(
                 {"domain": name, "rank": rank, "url": f"https://{name}{path}"}
             )
+
+    # one more domain: ordering THROUGH the probe-walk internal-redirect
+    # arm — the walk hops root→/a and resolves Ok at the root; the sniff
+    # then sees the 301 and addFirst()s /a (CrawlerRetreiver.java:305-311),
+    # so the planted order is root, /a, then /a's links in FIFO order
+    name = f"ord{ORDER_N_DOMAINS}.example.org"
+    domains_rows.append(
+        {
+            "domain": name, "top_domain": "example.org", "proto": "https",
+            "probe": "ok", "robots_txt": None, "site_kind": "default",
+            "crawl_depth": 10_000, "seed_urls": [], "sitemap_urls": [],
+            "generator_meta": "", "has_lemmy_config": False,
+        }
+    )
+
+    def rpage(path, links=(), status=200, redirect_to=None):
+        pages_rows.append(
+            {
+                "domain": name, "path": path, "param": None,
+                "url": f"https://{name}{path}", "status": status,
+                "redirect_to": redirect_to, "content_type": "text/html",
+                "image_id": None, "base_href": None, "links": list(links),
+                "feed_links": [], "body_marker": None, "etag": None,
+                "last_modified": None, "body_text": None,
+            }
+        )
+
+    rpage("/", status=301, redirect_to=f"https://{name}/a.html")
+    rpage("/a.html", links=["/b.html", "/c.html"])
+    rpage("/b.html")
+    rpage("/c.html")
+    for rank, path in enumerate(["/", "/a.html", "/b.html", "/c.html"], start=1):
+        expected_rows.append(
+            {"domain": name, "rank": rank, "url": f"https://{name}{path}"}
+        )
     return pages_rows, domains_rows, expected_rows
 
 
