@@ -854,10 +854,21 @@ def q_recrawl_retention(spark, sf_dir):
         .when(F.col("action") == "RECRAWL_CHANGED", "changed")
         .when(F.col("action") == "RECRAWL_MEMO_404", "memo404")
     )
+    retries = (
+        log.filter(F.col("action") == "FETCH_RETRY")
+        .groupBy("url")
+        .agg(F.count("*").alias("_nr"))
+    )
     return (
         log.withColumn("outcome", outcome)
         .filter(F.col("outcome").isNotNull())
-        .select("domain", "url", "outcome")
+        .join(retries, "url", "left")
+        .select(
+            "domain",
+            "url",
+            "outcome",
+            F.coalesce(F.col("_nr"), F.lit(0)).cast("long").alias("n_retries"),
+        )
     )
 
 

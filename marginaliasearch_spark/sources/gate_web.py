@@ -356,7 +356,10 @@ def oracle_sql(export_dir: str) -> str:
 
 RC_N_DOMAINS = 6
 RC_DOCS_PER_DOMAIN = 20  # < 25 → skip_prob stays 0 → deterministic
-_RC_OUTCOMES = ("304", "304", "header", "lsh", "changed", "memo404")
+# lsh_retry: the round-2 page answers two transient 429s before the 200
+# (the conditional GET rides the in-client retry ladder), then the EasyLSH
+# arm retains it — planted truth carries the retry count
+_RC_OUTCOMES = ("304", "304", "header", "lsh", "changed", "memo404", "lsh_retry")
 
 _RC_BODY = (
     "<html><body>"
@@ -400,7 +403,8 @@ def generate_recrawl_fixture():
             }
         )
 
-        def page(path, status=200, etag=None, lm=None, body=None):
+        def page(path, status=200, etag=None, lm=None, body=None,
+                 t_status=0, t_count=0, ra=None):
             pages_rows.append(
                 {
                     "domain": name, "path": path, "param": None,
@@ -410,6 +414,8 @@ def generate_recrawl_fixture():
                     "base_href": None, "links": [], "feed_links": [],
                     "body_marker": None, "etag": etag, "last_modified": lm,
                     "body_text": body,
+                    "transient_status": t_status, "transient_count": t_count,
+                    "retry_after": ra,
                 }
             )
 
@@ -450,8 +456,19 @@ def generate_recrawl_fixture():
                 prev["http_status"] = 404
                 prev["image_id"] = None
                 prev["lsh64"] = None
+            elif outcome == "lsh_retry":
+                # two transient 429s before the 200 — the conditional GET's
+                # retry ladder must recover it, then the LSH arm retains
+                page(path, body=_RC_BODY_NEAR, t_status=429, t_count=2, ra="1")
             prev_rows.append(prev)
-            expected_rows.append({"domain": name, "url": url, "outcome": outcome})
+            expected_rows.append(
+                {
+                    "domain": name,
+                    "url": url,
+                    "outcome": "lsh" if outcome == "lsh_retry" else outcome,
+                    "n_retries": 2 if outcome == "lsh_retry" else 0,
+                }
+            )
     return pages_rows, domains_rows, prev_rows, expected_rows
 
 
@@ -474,7 +491,10 @@ def ensure_recrawl_export(export_dir: str | None = None) -> str:
 
 def recrawl_oracle_sql(export_dir: str) -> str:
     p = os.path.join(export_dir, "gw_recrawl.parquet")
-    return f"SELECT domain, url, outcome FROM read_parquet('{p}')"
+    return (
+        f"SELECT domain, url, outcome, CAST(n_retries AS BIGINT) AS n_retries"
+        f" FROM read_parquet('{p}')"
+    )
 
 
 # ---------------------------------------------------------------------------
