@@ -29,7 +29,12 @@ from typing import Optional
 
 APPEND_TABLES = ("wave_out",)  # unified append log; crawl_data/fetch_log/
 # visits are row_kind-filtered views over it (one physical write per wave)
-REPLACE_TABLES = ("domain_state", "wave_offsets")
+REPLACE_TABLES = ("domain_state", "wave_offsets", "wave_out_compacted")
+# wave_out_compacted: the rewrite_data_files analogue — a compaction
+# snapshot folds all committed wave_out dirs into one row_kind-partitioned
+# table (wave carried as a data column) and truncates the wave_out append
+# list; older snapshots keep referencing the original files (time travel
+# intact) until expire_snapshots reclaims them
 # wave_offsets is REPLACED: the token-budget schedule is recomputed each
 # wave from cumulative per-domain durations (one offset per domain for
 # the whole run — the reference's semaphore is held for a domain's entire
@@ -57,13 +62,16 @@ class SnapshotCatalog:
             if f.startswith("snap-") and f.endswith(".json"):
                 os.remove(os.path.join(self.snap_dir, f))
 
-    def latest_snapshot(self) -> Optional[int]:
-        snaps = [
+    def _snapshots(self) -> list[int]:
+        return sorted(
             int(f[5:11])
             for f in os.listdir(self.snap_dir)
             if f.startswith("snap-") and f.endswith(".json")
-        ]
-        return max(snaps) if snaps else None
+        )
+
+    def latest_snapshot(self) -> Optional[int]:
+        snaps = self._snapshots()
+        return snaps[-1] if snaps else None
 
     def load(self, n: Optional[int] = None) -> dict:
         if n is None:
@@ -78,16 +86,22 @@ class SnapshotCatalog:
         wave: int,
         table_paths: dict[str, Optional[str]],
         frontier_buckets: Optional[dict[int, str]] = None,
+        truncate_append: Optional[set] = None,
     ) -> dict:
         """Commit wave N: append-table paths accumulate, replace-table paths
         supersede.  ``frontier_buckets`` maps *dirty* bucket ids to their new
         per-bucket data path (Iceberg partition-overwrite semantics: clean
         buckets keep pointing at their previous files).
+        ``truncate_append`` names append tables whose accumulated path list
+        restarts at this snapshot (compaction folded them elsewhere).
         Atomic via write-to-temp + rename."""
         prev = self.load()
         manifest = {"wave": wave, "tables": {}}
         for t in APPEND_TABLES:
-            paths = list(prev["tables"].get(t, []))
+            if truncate_append and t in truncate_append:
+                paths = []
+            else:
+                paths = list(prev["tables"].get(t, []))
             if table_paths.get(t):
                 paths.append(table_paths[t])
             manifest["tables"][t] = paths
@@ -120,6 +134,39 @@ class SnapshotCatalog:
 
     def paths(self, table: str, snapshot: Optional[int] = None) -> list[str]:
         return self.load(snapshot)["tables"].get(table, [])
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg expire_snapshots analogue: drop all but the newest
+        ``keep_last`` manifests and delete data dirs referenced ONLY by
+        expired ones.  Run after a compaction to reclaim the folded
+        per-wave files; time travel to expired snapshots is gone (by
+        design — exactly Iceberg's contract)."""
+        snaps = self._snapshots()
+        if len(snaps) <= keep_last:
+            return []
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live: set[str] = set()
+        for n in keep:
+            m = self.load(n)
+            for ps in m["tables"].values():
+                live.update(ps)
+            live.update(m.get("frontier_buckets", {}).values())
+        removed: list[str] = []
+        for n in drop:
+            m = self.load(n)
+            doomed = [p for ps in m["tables"].values() for p in ps] + list(
+                m.get("frontier_buckets", {}).values()
+            )
+            for path in doomed:
+                if path in live or not os.path.exists(path):
+                    continue
+                # keep dirs that contain (or live inside) a live path
+                if any(l.startswith(path) or path.startswith(l) for l in live):
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+            os.remove(self._snap_path(n))
+        return removed
 
     def rollback_to(self, n: int) -> None:
         """Delete manifests (and orphaned data dirs) newer than snapshot n."""

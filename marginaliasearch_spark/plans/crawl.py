@@ -425,19 +425,27 @@ class SparkCrawlEngine:
         so with basePath at the table root BOTH wave and row_kind are
         Hive-style partition columns: the kind filter prunes whole
         directories at planning time — a 10^4-wave run's fetch_log query
-        opens only fetch_log files, not every wave's every kind."""
+        opens only fetch_log files, not every wave's every kind.  A
+        compaction snapshot (compact_wave_out) folds prior waves into one
+        row_kind-partitioned table that unions in here."""
         paths = self.catalog.paths("wave_out")
-        if not paths:
+        cpaths = self.catalog.paths("wave_out_compacted")
+        if not paths and not cpaths:
             return None
         kind = kind or table
-        return (
-            self.spark.read.option(
-                "basePath", os.path.join(self.out_dir, "wave_out")
+        parts = []
+        if paths:
+            parts.append(
+                self.spark.read.option(
+                    "basePath", os.path.join(self.out_dir, "wave_out")
+                ).parquet(*paths)
             )
-            .parquet(*paths)
-            .filter(F.col("row_kind") == kind)
-            .select(*cols)
-        )
+        for p in cpaths:
+            parts.append(self.spark.read.option("basePath", p).parquet(p))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df.filter(F.col("row_kind") == kind).select(*cols)
 
     def read_table(self, table: str) -> Optional[DataFrame]:
         return self._read(table)
@@ -853,6 +861,46 @@ class SparkCrawlEngine:
                 break
 
         return waves_done
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact_wave_out(self) -> Optional[str]:
+        """Iceberg ``rewrite_data_files`` analogue for the wave output
+        log: fold every committed per-wave dir (plus any previous
+        compaction) into ONE row_kind-partitioned table with ``wave``
+        carried as a data column, committed as a new snapshot that
+        truncates the wave_out append list.  Views keep their row_kind
+        pruning; resume and further waves continue normally; older
+        snapshots still reference the original files (time travel intact)
+        until ``expire_snapshots()`` reclaims them.  At 10^4 waves this
+        bounds the views' file listing at O(kinds) instead of
+        O(waves × kinds)."""
+        manifest = self.catalog.load()
+        paths = manifest["tables"].get("wave_out", [])
+        if not paths:
+            return None  # nothing new to fold
+        parts = [
+            self.spark.read.option(
+                "basePath", os.path.join(self.out_dir, "wave_out")
+            ).parquet(*paths)
+        ]
+        for p in manifest["tables"].get("wave_out_compacted", []):
+            parts.append(self.spark.read.option("basePath", p).parquet(p))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        snap = manifest["wave"] + 1
+        cpath = os.path.join(self.out_dir, "wave_out_compacted", f"v={snap:06d}")
+        df.write.partitionBy("row_kind").mode("overwrite").parquet(cpath)
+        self.catalog.commit(
+            snap, {"wave_out_compacted": cpath}, truncate_append={"wave_out"}
+        )
+        return cpath
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Reclaim data files referenced only by expired snapshots (run
+        after compaction).  Returns the removed paths."""
+        return self.catalog.expire_snapshots(keep_last=keep_last)
 
     # -- result accessors ---------------------------------------------------
 
