@@ -33,6 +33,11 @@ def main() -> None:
         "--max-run-seconds", type=float, default=None,
         help="timed-run wall budget (TimedRun, default unbounded; the "
         "reference defaults to 7 days)")
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="after the run, fold per-wave output dirs into one "
+        "row_kind-partitioned table and expire superseded snapshots "
+        "(rewrite_data_files + expire_snapshots analogues)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,6 +70,9 @@ def main() -> None:
         group_key=args.group_key,
         deadline_s=args.max_run_seconds,
     )
+    if args.compact:
+        engine.compact_wave_out()
+        engine.expire_snapshots(keep_last=1)
     visited = engine.read_table("visits").count()
     seen = (
         engine.read_table("frontier")
