@@ -928,6 +928,52 @@ def q_retry_ladder(spark, sf_dir):
     )
 
 
+def q_content_probe(spark, sf_dir):
+    """Content-type HEAD-probe gate: planted binary-looking URLs must be
+    classified by the probe before any GET (allowed type → fetched;
+    text/css and octet-stream → flagged without a GET; missing page →
+    probe error into the error budget; probe redirect → addFirst
+    re-entry, with the TARGET then fetched; HEAD-405 → GET anyway;
+    probable-good extensions skip the probe entirely).  Derived from the
+    fetch_log audit actions; oracle = the planted truth table
+    (HttpFetcherImpl.probeContentType:332-400, ContentTypeLogic.java:13-59)."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_content_probe_export,
+        generate_content_probe_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+
+    ensure_content_probe_export()
+    pages_rows, domains_rows, _ = generate_content_probe_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    out_dir = tempfile.mkdtemp(prefix="msx_ct_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    engine.run_waves(pages, wave_budget=None)
+
+    log = engine.read_table("fetch_log").filter(F.col("url").contains("/r/"))
+    outcome = (
+        F.when(F.col("action") == "PROBE_CT_ERROR", "probe_error")
+        .when(F.col("action") == "FAILED_CONTENT_TYPE", "bad_type")
+        .when(F.col("action") == "PROBE_CT_REDIRECT", "probe_redirect")
+        .when((F.col("action") == "FETCH") & (F.col("http_status") == 200), "fetched")
+    )
+    return (
+        log.withColumn("outcome", outcome)
+        .filter(F.col("outcome").isNotNull())
+        .select("domain", "url", "outcome")
+        .distinct()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "worklog_compaction": q_worklog_compaction,
@@ -970,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_domain_discovery": q_cross_domain_discovery,
         "av_features": q_av_features,
         "retry_ladder": q_retry_ladder,
+        "content_probe": q_content_probe,
     }
 
 
@@ -979,8 +1026,10 @@ def oracle_sql() -> dict[str, str]:
         ensure_discovery_export,
         ensure_export,
         ensure_order_export,
+        ensure_content_probe_export,
         ensure_recrawl_export,
         ensure_retry_export,
+        content_probe_oracle_sql,
         order_oracle_sql,
         recrawl_oracle_sql,
         retry_oracle_sql,
@@ -1000,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
     ord_dir = ensure_order_export()
     disc_dir = ensure_discovery_export()
     retry_dir = ensure_retry_export()
+    ct_dir = ensure_content_probe_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
     )
@@ -1015,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_visit_order": order_oracle_sql(ord_dir),
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),
         "retry_ladder": retry_oracle_sql(retry_dir),
+        "content_probe": content_probe_oracle_sql(ct_dir),
         "av_features": """
             SELECT printf('clip-%08d', i) AS clip_id,
                    CASE WHEN i % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,

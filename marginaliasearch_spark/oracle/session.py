@@ -317,6 +317,17 @@ class DomainCrawlSession:
                 continue
 
             fetches += 1
+            probe = self._content_type_probe(top)
+            if probe is not None:
+                kind, payload = probe
+                self.new_visits.append(str(top))
+                self.timer.wait_fetch_delay(0)  # post-fetchContent wait
+                if kind == "redirect":
+                    if payload.domain == self.edge_domain:
+                        frontier.add_first(payload)
+                elif kind == "http_error":
+                    self.error_count += 1
+                continue
             page = self._fetch(top)
             spent = fetch_time_ms(str(top))
             self._log(str(top), "FETCH", page.status)
@@ -395,6 +406,60 @@ class DomainCrawlSession:
     def _fetch(self, url: EdgeUrl) -> Page:
         page, _, _ = self._client_fetch(url)
         return page
+
+    def _content_type_probe(
+        self,
+        url: EdgeUrl,
+        etag: Optional[str] = None,
+        last_modified: Optional[str] = None,
+    ):
+        """HEAD-before-GET content-type probe for binary-looking URLs
+        (HttpFetcherImpl.probeContentType:332-400 + the fetchContent arm
+        handling :408-446).  Skipped when content tags are painted or the
+        URL doesn't look binary (the NoOp arm, which pays no delay).
+
+        Returns None when the GET should proceed (NoOp / allowed type /
+        405-can't-probe), else a terminal (kind, payload):
+        ("bad_type", content_type) — flagged, no GET, no error;
+        ("redirect", EdgeUrl)      — ResultRedirect, no GET;
+        ("http_error", status)     — ResultException, error budget.
+        Probed arms pay the probe's finally-wait on the virtual clock."""
+        from ..functions.contenttype import (
+            is_allowable_content_type,
+            is_url_like_binary,
+        )
+
+        if etag is not None or last_modified is not None:
+            return None
+        if not is_url_like_binary(url.path):
+            return None
+        page, _, _ = self._client_fetch(url)  # the HEAD rides the retry ladder
+        status = page.head_status if page.head_status else page.status
+        if status in (301, 302, 307):
+            loc = parse_link(url, page.redirect_to) if page.redirect_to else None
+            out = ("http_error", status) if loc is None else ("redirect", loc)
+        elif status == 405:
+            out = None  # can't probe with HEAD — proceed with the GET
+        elif status < 200 or status > 300:
+            out = ("http_error", status)
+        else:
+            ct = page.content_type
+            if ct is None:
+                out = ("http_error", status)  # missing Content-Type header
+            elif not is_allowable_content_type(ct):
+                out = ("bad_type", ct)
+            else:
+                out = None
+        if out is None:
+            self._log(str(url), "PROBE_CT_OK", status)
+        elif out[0] == "bad_type":
+            self._log(str(url), "FAILED_CONTENT_TYPE", status)
+        elif out[0] == "redirect":
+            self._log(str(url), "PROBE_CT_REDIRECT", status)
+        else:
+            self._log(str(url), "PROBE_CT_ERROR", out[1])
+        self.timer.wait_fetch_delay(0)  # probeContentType's finally-wait
+        return out
 
     def _record(self, page: Page, url: EdgeUrl) -> None:
         # output-stage gate: only whitelisted content types are stored
@@ -609,9 +674,22 @@ class DomainCrawlSession:
                 skipped += 1
             else:
                 # conditional GET with the stored validators painted on,
-                # through the same in-client retry ladder as fresh fetches
+                # through the same in-client retry ladder as fresh fetches.
+                # Tag-less binary-looking docs get the content-type HEAD
+                # probe first (painted tags skip it — the NoOp arm)
                 tag_etag = doc.get("etag")
                 tag_lm = doc.get("last_modified")
+                probe = self._content_type_probe(url, tag_etag, tag_lm)
+                if probe is not None:
+                    kind, payload = probe
+                    self.new_visits.append(str(url))
+                    self.timer.wait_fetch_delay(0)
+                    if kind == "redirect" and payload.domain == self.edge_domain:
+                        frontier.add_first(payload)
+                    elif kind == "http_error":
+                        errors += 1
+                    recrawled += 1
+                    continue
                 page, got304, _ = self._client_fetch(url, tag_etag, tag_lm)
                 spent = fetch_time_ms(str(url))
 

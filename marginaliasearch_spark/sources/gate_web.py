@@ -595,6 +595,112 @@ def retry_oracle_sql(export_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Content-type probe gate fixture: planted binary-looking URLs whose HEAD
+# probe must classify them (allowed / blocked type / error / redirect)
+# before any GET is spent — HttpFetcherImpl.probeContentType (:332-400)
+# and the fetchContent arm handling (:408-446).  Truth decided by the
+# generator from the probe's public contract.
+# ---------------------------------------------------------------------------
+
+CT_N_DOMAINS = 3
+
+# (path, content_type, status, head_status, redirect_to_path, outcome, via)
+# via='link' arrives through root hrefs; via='seed' arrives as a spec seed
+# URL — the link parser (faithfully) drops .pdf/.dat/.bin hrefs at
+# extraction time, but spec/seed URLs enter the frontier directly, which
+# is exactly where the reference's content-type probe earns its keep
+_CT_CASES = [
+    ("/r/page.html", "text/html", 200, 0, None, "fetched", "link"),   # good pattern → no probe
+    ("/r/app.pdf", "application/pdf", 200, 0, None, "fetched", "seed"),  # good pattern → no probe
+    ("/r/data.ashx", "text/html", 200, 0, None, "fetched", "link"),   # probe HEAD 200 html → OK → GET
+    ("/r/feed.rsx", "application/rss+xml", 200, 0, None, "fetched", "link"),  # accepted prefix
+    ("/r/style.qcss", "text/css", 200, 0, None, "bad_type", "link"),  # blocked type, no GET
+    ("/r/blob.dat", "application/octet-stream", 200, 0, None, "bad_type", "seed"),
+    ("/r/miss.abc", None, 0, 0, None, "probe_error", "link"),         # absent page: HEAD 404
+    ("/r/redir.abc", "text/html", 301, 0, "/r/target.html", "probe_redirect", "link"),
+    ("/r/head405.bin", "text/html", 200, 405, None, "fetched", "seed"),  # 405 → GET anyway
+]
+
+
+def generate_content_probe_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows); expected is the
+    planted (domain, url, outcome) truth — plus the redirect target, which
+    must end up fetched through the addFirst re-entry."""
+    pages_rows, domains_rows, expected_rows = [], [], []
+    for i in range(CT_N_DOMAINS):
+        name = f"cp{i}.example.org"
+        seeds = [
+            f"https://{name}{c[0]}" for c in _CT_CASES if c[6] == "seed"
+        ]
+        domains_rows.append(
+            {
+                "domain": name, "top_domain": "example.org", "proto": "https",
+                "probe": "ok", "robots_txt": None, "site_kind": "default",
+                "crawl_depth": 10_000, "seed_urls": seeds, "sitemap_urls": [],
+                "generator_meta": "", "has_lemmy_config": False,
+            }
+        )
+
+        def page(path, ct="text/html", status=200, head_status=0,
+                 redirect_to=None, links=()):
+            pages_rows.append(
+                {
+                    "domain": name, "path": path, "param": None,
+                    "url": f"https://{name}{path}", "status": status,
+                    "redirect_to": redirect_to, "content_type": ct,
+                    "image_id": None, "base_href": None, "links": list(links),
+                    "feed_links": [], "body_marker": None, "etag": None,
+                    "last_modified": None, "body_text": None,
+                    "head_status": head_status,
+                }
+            )
+
+        page("/", links=[c[0] for c in _CT_CASES if c[6] == "link"])
+        for path, ct, status, head_status, rt, outcome, _via in _CT_CASES:
+            if status == 0:
+                pass  # absent page: the web 404s it
+            else:
+                page(
+                    path, ct=ct, status=status, head_status=head_status,
+                    redirect_to=f"https://{name}{rt}" if rt else None,
+                )
+            expected_rows.append(
+                {"domain": name, "url": f"https://{name}{path}", "outcome": outcome}
+            )
+        page("/r/target.html")  # the probe-redirect landing page
+        expected_rows.append(
+            {
+                "domain": name,
+                "url": f"https://{name}/r/target.html",
+                "outcome": "fetched",
+            }
+        )
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_content_probe_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_content_probe_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("ctprobe", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_ct_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_ctprobe.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def content_probe_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_ctprobe.parquet")
+    return f"SELECT domain, url, outcome FROM read_parquet('{p}')"
+
+
+# ---------------------------------------------------------------------------
 # Crawl-ORDER gate fixture: the north rule requires reproducing the
 # reference's crawl ordering, not just the visited set.  Each domain is a
 # small branch+redirect shape whose FIFO + addFirst order is known by
