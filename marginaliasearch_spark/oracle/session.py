@@ -334,7 +334,10 @@ class DomainCrawlSession:
             self.new_visits.append(str(top))
             self.timer.wait_fetch_delay(spent)
 
-            if page.status == 200:
+            if page.status in (200, 206):
+                # 206 Partial Content is a good status like 200 (Range
+                # responses — HttpFetcherImplFetchTest.testRangeResponse;
+                # SlopCrawlDataRecord counts 200/206 as stored statuses)
                 self.crawler_additions += 1
                 if page.content_type == "text/html":
                     self._enqueue_links(top, page)

@@ -103,3 +103,22 @@ def test_probe_error_consumes_error_budget():
     s.run()
     assert s.error_count >= 20
     assert s.phase == "done"
+
+
+def test_206_partial_content_recorded_like_200():
+    """Range responses (206) are good statuses: recorded, links enqueued
+    (HttpFetcherImplFetchTest.testRangeResponse; SlopCrawlDataRecord
+    counts 200/206)."""
+    s = _session([
+        {"path": "/", "links": ["/part.html"]},
+        {"path": "/part.html", "status": 206, "links": ["/next.html"],
+         "image_id": "img-0"},
+        {"path": "/next.html"},
+    ])
+    s.setup()
+    s.run()
+    visits = set(s.new_visits)
+    assert f"https://{NAME}/part.html" in visits
+    assert f"https://{NAME}/next.html" in visits  # links harvested from the 206
+    recorded = {r["url"]: r["http_status"] for r in s.new_crawl_data}
+    assert recorded[f"https://{NAME}/part.html"] == 206
