@@ -4,16 +4,17 @@
 through the wave engine — at tiny scale and returns the crawl_data result.
 
 ``queries()`` exposes every SURVEY.md §2 operator family plus the
-training-data pipeline operators; ``oracle_sql()`` covers 37 of the 39
-entries.  Non-SQL-expressible semantics get INDEPENDENT oracles instead
-of rows-only checks: ground-truth fixture exports + recursive-CTE
-closure for the crawl set/order gates, planted-outcome tables for
-recrawl retention, compiled-reference golden tables for the bit-exact
-URL hash, text-equality pair sets for the minhash/simhash dup pipelines
-(identical text ⇒ identical signature ⇒ exact recall), and declared
-per-row invariants for payload validation.  Only the two realistic
-NEAR-dup demos (`minhash_lsh_pairs`, `simhash_pairs`) stay rows-only —
-their exact-answer siblings (`*_dup_pairs`) certify the same plans.
+training-data pipeline operators; ``oracle_sql()`` covers ALL 41 entries
+(zero rows-only since round 3).  Non-SQL-expressible semantics get
+INDEPENDENT oracles instead of rows-only checks: ground-truth fixture
+exports + recursive-CTE closure for the crawl set/order gates,
+planted-outcome tables for recrawl retention, the retry ladder and the
+content-type probe, compiled-reference golden tables for the bit-exact
+URL hash, exact char-5-gram Jaccard in SQL for the minhash near-dup
+pipeline (the corpus has a measured margin gap around the threshold),
+from-scratch DuckDB HUGEINT recomputations of the SimHash signature
+pipeline and the winnowing fingerprint (oracle/sqlgen.py), and declared
+per-row invariants for payload validation.
 
 All oracle-checked queries return only ints/strings so the value-hash
 comparison is exact (money/value aggregates are fixed-point BIGINT on
