@@ -975,6 +975,49 @@ def q_content_probe(spark, sf_dir):
     )
 
 
+def q_robots_audit(spark, sf_dir):
+    """Retroactive robots audit (operators/robots_audit.py): corpus rows
+    re-gated against CURRENT robots texts — broadcast dimension join +
+    Arrow-batched rule evaluation with per-text LRU parse.  Four planted
+    rule variants (404-robots ALLOW_ALL, /private/ prefix, blanket
+    disallow with UA-group override, wildcard *.php$) over three path
+    shapes; the oracle declares each (variant, shape) verdict."""
+    from marginaliasearch_spark.operators.robots_audit import robots_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    v = (F.col("doc_id") % 4).cast("string")
+    domain = F.concat(F.lit("ra"), v, F.lit(".example.org"))
+    k = F.col("doc_id") % 3
+    n = F.col("doc_id").cast("string")
+    path = (
+        F.when(k == 0, F.concat(F.lit("/public/p"), n, F.lit(".html")))
+        .when(k == 1, F.concat(F.lit("/private/s"), n, F.lit(".html")))
+        .otherwise(F.concat(F.lit("/item"), n, F.lit(".php")))
+    )
+    corpus = docs.select(
+        "doc_id",
+        domain.alias("domain"),
+        F.concat(F.lit("https://"), domain, path).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("ra0.example.org", None),
+            ("ra1.example.org", "User-agent: *\nDisallow: /private/\n"),
+            (
+                "ra2.example.org",
+                "User-agent: *\nDisallow: /\n\n"
+                "User-agent: GoogleBot\nUser-agent: search.marginalia.nu\n"
+                "Disallow:\nDisallow: /private/\n",
+            ),
+            ("ra3.example.org", "User-agent: *\nDisallow: /*.php$\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    return robots_audit(corpus, robots).select(
+        "doc_id", "domain", F.col("allowed").cast("int").alias("allowed")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "worklog_compaction": q_worklog_compaction,
@@ -1018,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_features": q_av_features,
         "retry_ladder": q_retry_ladder,
         "content_probe": q_content_probe,
+        "robots_audit": q_robots_audit,
     }
 
 
@@ -1067,6 +1111,16 @@ def oracle_sql() -> dict[str, str]:
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),
         "retry_ladder": retry_oracle_sql(retry_dir),
         "content_probe": content_probe_oracle_sql(ct_dir),
+        "robots_audit": """
+            SELECT doc_id,
+                   'ra' || CAST(v AS VARCHAR) || '.example.org' AS domain,
+                   CASE WHEN v = 0 THEN 1
+                        WHEN v IN (1, 2) THEN CASE WHEN k = 1 THEN 0 ELSE 1 END
+                        ELSE CASE WHEN k = 2 THEN 0 ELSE 1 END
+                   END AS allowed
+            FROM (SELECT doc_id, doc_id % 4 AS v, doc_id % 3 AS k
+                  FROM documents) t
+        """,
         "av_features": """
             SELECT printf('clip-%08d', i) AS clip_id,
                    CASE WHEN i % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,

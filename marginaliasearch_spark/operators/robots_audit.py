@@ -1,0 +1,76 @@
+"""Retroactive robots audit over a stored corpus.
+
+A crawl stores documents under the robots rules in force at fetch time;
+rules change.  This operator re-evaluates a corpus of (domain, url) rows
+against CURRENT robots.txt texts and flags rows that are no longer
+fetchable — the corpus-maintenance pass a production pipeline runs
+before recrawl scheduling and for takedown compliance.  The reference
+applies exactly this check per document on every revisit
+(CrawlerRevisitor: previously-stored URLs are re-gated through
+``robotsRules.isAllowed`` and refused when the rules changed —
+cp/java/.../retreival/revisit/CrawlerRevisitor.java:103-111); at corpus
+scale the same gate runs as one batch pass.
+
+Plan shape (100 TB lens): robots texts are a per-domain DIMENSION — one
+small row per domain vs billions of corpus rows — so they broadcast-join
+onto the corpus (zero shuffle of the big side), and ``is_allowed``
+evaluates in an Arrow-batched pandas UDF that parses each distinct
+robots text ONCE per worker (LRU over the text), never per row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+DEFAULT_USER_AGENT = "search.marginalia.nu"
+
+
+def robots_audit(
+    corpus: DataFrame,
+    robots: DataFrame,
+    user_agent: str = DEFAULT_USER_AGENT,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """corpus (…, domain, url) ⋈ broadcast robots (domain, robots_txt) →
+    corpus columns + ``allowed`` boolean.  A domain with no robots row
+    (or a NULL text, i.e. a 404 robots.txt) allows everything —
+    RFC 9309's ALLOW_ALL default, same as the crawl path."""
+
+    @pandas_udf(T.BooleanType())
+    def allowed(urls: pd.Series, robots_txt: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        from ..functions.robots import parse_robots_txt
+
+        @lru_cache(maxsize=4096)
+        def rules_for(txt):
+            return parse_robots_txt(txt, user_agent)
+
+        return pd.Series(
+            [
+                rules_for(txt if isinstance(txt, str) else None).is_allowed(u)
+                for u, txt in zip(urls, robots_txt)
+            ]
+        )
+
+    joined = corpus.join(
+        F.broadcast(robots.select(domain_col, robots_col)), domain_col, "left"
+    )
+    return joined.withColumn(
+        "allowed", allowed(F.col(url_col), F.col(robots_col))
+    ).drop(robots_col)
+
+
+def newly_refused(
+    corpus: DataFrame,
+    robots: DataFrame,
+    user_agent: str = DEFAULT_USER_AGENT,
+) -> DataFrame:
+    """The takedown view: stored rows the CURRENT rules refuse."""
+    return robots_audit(corpus, robots, user_agent).filter(~F.col("allowed"))
