@@ -1018,6 +1018,51 @@ def q_robots_audit(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (operators/sampling.py): rates
+    dimension broadcast onto the corpus, keep iff multiplicative
+    hash32(id) < fraction·2^32 — order-independent, partition-independent,
+    and SQL-mirrorable, so the oracle recomputes the EXACT subset."""
+    from marginaliasearch_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.25), ("fr", 0.1)], "lang string, fraction double"
+    )
+    return stratified_sample(docs, rates, stratum_col="lang")
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Mixture cap: at most 20 docs per language, chosen by hash rank —
+    the 'balance the corpus across strata' composition op; oracle =
+    the same window over the same SQL hash."""
+    from marginaliasearch_spark.operators.sampling import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balanced_sample(docs, 20, stratum_col="lang")
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-best composition after near-dup grouping: one keeper per
+    group by (quality desc, id asc); ungrouped rows keep themselves.
+    Planted groups (doc_id % 50 for the first 200 docs) + planted
+    quality (doc_id % 7) make the argmax SQL-declarable."""
+    from marginaliasearch_spark.operators.sampling import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 7).cast("long").alias("quality")
+    )
+    groups = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") % 50).cast("long").alias("component"),
+        )
+    )
+    return dedup_keep_best(docs, groups).select("doc_id", "quality")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "worklog_compaction": q_worklog_compaction,
@@ -1062,6 +1107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_ladder": q_retry_ladder,
         "content_probe": q_content_probe,
         "robots_audit": q_robots_audit,
+        "stratified_sample": q_stratified_sample,
+        "balanced_sample": q_balanced_sample,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -1089,6 +1137,9 @@ def oracle_sql() -> dict[str, str]:
 
     import os as _os
 
+    from marginaliasearch_spark.operators.sampling import hash32_sql
+
+    h32 = hash32_sql("doc_id")
     gate_dir = ensure_export()
     rc_dir = ensure_recrawl_export()
     ord_dir = ensure_order_export()
@@ -1111,6 +1162,33 @@ def oracle_sql() -> dict[str, str]:
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),
         "retry_ladder": retry_oracle_sql(retry_dir),
         "content_probe": content_probe_oracle_sql(ct_dir),
+        "stratified_sample": f"""
+            SELECT lang, doc_id FROM documents
+            WHERE {h32} < CAST(floor(CASE lang
+                    WHEN 'en' THEN 0.5 * 4294967296
+                    WHEN 'de' THEN 0.25 * 4294967296
+                    WHEN 'fr' THEN 0.1 * 4294967296
+                    ELSE 0 END) AS BIGINT)
+        """,
+        "balanced_sample": f"""
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY {h32}, doc_id) AS rk
+                FROM documents) t
+            WHERE rk <= 20
+        """,
+        "dedup_keep_best": """
+            SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS quality FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY CASE WHEN doc_id < 200
+                                             THEN doc_id % 50
+                                             ELSE doc_id END
+                           ORDER BY (doc_id % 7) DESC, doc_id) AS rk
+                FROM documents) t
+            WHERE rk = 1
+        """,
         "robots_audit": """
             SELECT doc_id,
                    'ra' || CAST(v AS VARCHAR) || '.example.org' AS domain,
