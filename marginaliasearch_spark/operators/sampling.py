@@ -38,16 +38,29 @@ _TWO32 = 1 << 32
 
 def _hash32(id_col: Column, salt: int) -> Column:
     """Order-independent 32-bit hash of a BIGINT id as a pure Column.
-    Java long arithmetic wraps mod 2^64; masking the low 32 bits equals
-    mod 2^32 — bit-identical to the HUGEINT arithmetic in the oracle."""
-    h = id_col.cast("long") * F.lit(_K) + F.lit(salt * _GOLDEN)
+
+    (id·K) mod 2^32 depends only on the low 32 bits of id, so the
+    multiply is split into 16-bit halves to stay inside a signed long
+    under ANSI mode (Spark 4 throws on long overflow): with
+    lo = a + b·2^16,  lo·K ≡ a·K + ((b·K) mod 2^16)·2^16  (mod 2^32),
+    every intermediate < 2^49."""
+    lo = id_col.cast("long").bitwiseAND(F.lit(_TWO32 - 1))
+    a = lo.bitwiseAND(F.lit(0xFFFF))
+    b = F.shiftrightunsigned(lo, 16)
+    h = (
+        a * F.lit(_K)
+        + (b * F.lit(_K)).bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
+        + F.lit((salt * _GOLDEN) % _TWO32)
+    )
     return h.bitwiseAND(F.lit(_TWO32 - 1))
 
 
 def hash32_sql(id_expr: str, salt: int = 42) -> str:
-    """The DuckDB mirror of ``_hash32`` (HUGEINT mod arithmetic)."""
+    """The DuckDB mirror of ``_hash32``: HUGEINT arithmetic needs no
+    split, only the two's-complement low-32 reduction of negative ids."""
+    lo = f"((({id_expr}::HUGEINT % 4294967296) + 4294967296) % 4294967296)"
     return (
-        f"CAST((({id_expr}::HUGEINT * {_K} + {salt * _GOLDEN})"
+        f"CAST((({lo} * {_K} + {(salt * _GOLDEN) % _TWO32})"
         f" % 4294967296::HUGEINT) AS BIGINT)"
     )
 

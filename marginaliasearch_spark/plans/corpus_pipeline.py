@@ -59,4 +59,47 @@ def enrich_corpus(docs: DataFrame) -> DataFrame:
     ).drop("keeper_url")
 
 
-__all__ = ["corpus_from_crawl", "enrich_corpus", "exact_dedup"]
+def compose_training_set(
+    enriched: DataFrame,
+    near_dup_threshold: float = 0.5,
+    max_per_lang: int = 0,
+    id_col: str = "url",
+) -> DataFrame:
+    """The full composition pass a training-data pipeline runs after
+    enrichment: drop exact-dup copies, group NEAR-dups (word-3-gram
+    Jaccard → connected components) and keep the best-quality member of
+    each group, then optionally cap every language at ``max_per_lang``
+    rows by deterministic hash rank (operators/sampling.py).
+
+    Scale shape: the near-dup grouping shuffles only the shingle explode
+    of the deduped survivors; keep-best and the cap are one window each
+    on small keys.  All thresholds and ranks are deterministic — the same
+    corpus composes to the same training set on any cluster."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+    from ..operators.sampling import balanced_sample, dedup_keep_best
+
+    base = enriched.filter(F.col("is_dup_copy") == 0)
+    # stable integer id for grouping/sampling (the url hash is bit-stable)
+    with_id = base.withColumn("_id", F.xxhash64(F.col(id_col)))
+    pairs = ngram_jaccard_pairs(
+        with_id.select(F.col("_id").alias("doc_id"), "text"),
+        threshold=near_dup_threshold,
+    )
+    groups = connected_components(pairs)
+    kept = dedup_keep_best(
+        with_id, groups, quality_col="quality_score", id_col="_id"
+    )
+    if max_per_lang > 0:
+        kept = balanced_sample(
+            kept, max_per_lang, stratum_col="lang_pred", id_col="_id"
+        )
+    return kept.drop("_id")
+
+
+__all__ = [
+    "compose_training_set",
+    "corpus_from_crawl",
+    "enrich_corpus",
+    "exact_dedup",
+]

@@ -39,3 +39,47 @@ def test_crawl_to_enriched_corpus(spark, tmp_path):
         F.sum("is_dup_copy").alias("n_copies"), F.count("*").alias("n")
     )
     assert groups.filter(F.col("n_copies") != F.col("n") - 1).count() == 0
+
+
+def test_compose_training_set(spark, tmp_path):
+    """The full composition pass: exact-dup copies dropped, near-dup
+    groups reduced to their best-quality member, per-language cap applied
+    deterministically."""
+    from marginaliasearch_spark.plans.corpus_pipeline import compose_training_set
+
+    docs = spark.createDataFrame(
+        [
+            # near-dup pair (same long text modulo one word) — higher
+            # quality member must win
+            ("https://a.example/1", "a.example",
+             "the quick brown fox jumps over the lazy dog again and again today"),
+            ("https://a.example/2", "a.example",
+             "the quick brown fox jumps over the lazy dog again and again tonight"),
+            # exact dup pair — keeper is the lower url
+            ("https://b.example/1", "b.example", "completely different text one two three four five"),
+            ("https://b.example/2", "b.example", "completely different text one two three four five"),
+            # singleton
+            ("https://c.example/1", "c.example", "unrelated content with nothing shared at all here"),
+        ],
+        "url string, domain string, text string",
+    )
+    from marginaliasearch_spark.plans.corpus_pipeline import enrich_corpus
+
+    enriched = enrich_corpus(docs)
+    out = compose_training_set(enriched, near_dup_threshold=0.5)
+    urls = sorted(r["url"] for r in out.select("url").collect())
+    # exact-dup copy gone (b/2), near-dup group reduced to ONE member,
+    # singleton kept
+    assert "https://b.example/2" not in urls
+    assert len([u for u in urls if u.startswith("https://a.example/")]) == 1
+    assert "https://c.example/1" in urls
+    assert len(urls) == 3
+
+    # determinism under repartitioning
+    out2 = compose_training_set(enriched.repartition(7), near_dup_threshold=0.5)
+    assert sorted(r["url"] for r in out2.select("url").collect()) == urls
+
+    # per-language cap engages
+    capped = compose_training_set(enriched, near_dup_threshold=0.5, max_per_lang=1)
+    per = capped.groupBy("lang_pred").count().collect()
+    assert all(r["count"] <= 1 for r in per)
