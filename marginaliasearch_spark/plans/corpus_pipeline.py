@@ -74,7 +74,11 @@ def compose_training_set(
     Scale shape: the near-dup grouping shuffles only the shingle explode
     of the deduped survivors; keep-best and the cap are one window each
     on small keys.  All thresholds and ranks are deterministic — the same
-    corpus composes to the same training set on any cluster."""
+    corpus composes to the same training set on any cluster.  The stable
+    integer id is xxhash64(url): at 10^10 rows the 64-bit birthday bound
+    expects ~3 id collisions corpus-wide (each silently merges two
+    unrelated docs into one keep-best group) — acceptable for training
+    composition; use a dedicated id column where exactness matters."""
     from ..operators.dedup import ngram_jaccard_pairs
     from ..operators.graph import connected_components
     from ..operators.sampling import balanced_sample, dedup_keep_best

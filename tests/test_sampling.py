@@ -64,3 +64,33 @@ def test_dedup_keep_best_argmax(spark):
     kept = sorted(r["doc_id"] for r in dedup_keep_best(docs, groups).collect())
     # group 100: quality 30 tie between 2,3 → lowest id (2); 4 ungrouped keeps itself
     assert kept == [2, 4]
+
+
+def test_hash32_sql_mirror_bit_exact(spark):
+    """The DuckDB mirror equals the Spark Column form over random 64-bit
+    ids including negatives (the ANSI-safe split multiply vs HUGEINT mod
+    arithmetic)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from marginaliasearch_spark.operators.sampling import _hash32, hash32_sql
+
+    rng = np.random.default_rng(11)
+    ids = np.concatenate(
+        [
+            rng.integers(-(2**63), 2**63 - 1, 500, dtype=np.int64),
+            np.arange(-5, 50),
+            np.array([0, 2**63 - 1, -(2**63), 2**32, -(2**32)], dtype=np.int64),
+        ]
+    )
+    pdf = pd.DataFrame({"doc_id": ids})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["h"]
+        for r in sdf.select("doc_id", _hash32(F.col("doc_id"), 42).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(con.execute(f"SELECT doc_id, {hash32_sql('doc_id')} FROM t").fetchall())
+    assert got == {k: int(v) for k, v in want.items()}
