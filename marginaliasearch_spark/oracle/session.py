@@ -151,6 +151,8 @@ class DomainCrawlSession:
         self.recrawl_retained = 0
         self.recrawl_skipped = 0
         self.feed_url: Optional[str] = None  # discovered feed (DomainStateDb)
+        self.favicon_url: Optional[str] = None  # stored icon (saveIcon analogue)
+        self.favicon_content_type: Optional[str] = None
 
         # per-wave output buffers (drained by the caller)
         self.new_crawl_data: list[dict] = []
@@ -544,10 +546,21 @@ class DomainCrawlSession:
             self._record(page, root_url)
 
             self.feed_url = self._discover_feed(root_url, page)
+            # favicon: default /favicon.ico, overridden by the root doc's
+            # <link rel="icon"> when same-domain (CrawlerRetreiver.java:
+            # 333-339); a 200 fetch persists the favicon record in the
+            # domain summary (DomainStateDb.saveIcon analogue)
             favicon_url = root_url.with_path_and_param("/favicon.ico", None)
+            if page.icon_href:
+                cand = parse_link(root_url, page.icon_href)
+                if cand is not None and cand.domain == self.edge_domain:
+                    favicon_url = cand
             if self.rules.is_allowed(str(favicon_url)):
                 fav = self._fetch(favicon_url)
                 self._log(str(favicon_url), "FETCH_FAVICON", fav.status)
+                if fav.status == 200:
+                    self.favicon_url = str(favicon_url)
+                    self.favicon_content_type = fav.content_type
             self.timer.wait_fetch_delay(0)
         self.frontier.add_visited(root_url)
         self.new_visits.append(str(root_url))
@@ -830,6 +843,8 @@ class DomainCrawlSession:
                 "recrawl_retained": self.recrawl_retained,
                 "recrawl_skipped": self.recrawl_skipped,
                 "feed_url": self.feed_url,
+                "favicon_url": self.favicon_url,
+                "favicon_content_type": self.favicon_content_type,
                 "clock_ms": self.timer.clock_ms,
                 "slow_down": self.timer.slow_down,
                 "crawl_delay_ms": self.rules.crawl_delay_ms,
@@ -860,6 +875,8 @@ class DomainCrawlSession:
         sess.recrawl_retained = st.get("recrawl_retained", 0)
         sess.recrawl_skipped = st.get("recrawl_skipped", 0)
         sess.feed_url = st.get("feed_url")
+        sess.favicon_url = st.get("favicon_url")
+        sess.favicon_content_type = st.get("favicon_content_type")
         sess.rules = RobotRules.from_dict(st["robots"])
         sess.timer = Timer(st["crawl_delay_ms"], clock_ms=st["clock_ms"], slow_down=st["slow_down"])
 

@@ -1027,6 +1027,10 @@ class SparkCrawlEngine:
             .alias("recrawl_skipped"),
             F.get_json_object("state_json", "$.clock_ms").cast("long").alias("crawl_time_ms"),
             F.get_json_object("state_json", "$.feed_url").alias("feed_url"),
+            F.get_json_object("state_json", "$.favicon_url").alias("favicon_url"),
+            F.get_json_object("state_json", "$.favicon_content_type").alias(
+                "favicon_content_type"
+            ),
         )
         cd = self._read("crawl_data")
         if cd is not None:

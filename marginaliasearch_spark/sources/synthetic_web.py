@@ -65,6 +65,9 @@ class Page:
     # HEAD-misbehaving servers — the probe walk's GET-retry arm,
     # HttpFetcherImpl.java:292-300); 0 = same as GET
     head_status: int = 0
+    # <link rel="icon" href=...> on the page (the sniff overrides the
+    # default /favicon.ico with it — CrawlerRetreiver.java:333-339)
+    icon_href: Optional[str] = None
 
 
 @dataclass
@@ -536,6 +539,16 @@ def generate_web(
             )
         if probe == "ok" and i % 17 == 6:
             pages[(name, "/", None)].head_status = 405
+        if probe == "ok" and i % 14 == 3:
+            # custom favicon declared via <link rel=icon> on the root
+            root = pages[(name, "/", None)]
+            if root.status == 200:
+                root.icon_href = "/assets/icon.png"
+                pages[(name, "/assets/icon.png", None)] = Page(
+                    url=f"{proto}://{name}/assets/icon.png", domain=name,
+                    path="/assets/icon.png", param=None,
+                    status=200, content_type="image/png",
+                )
 
         # favicon + feed endpoint extras
         if i % 2 == 0:
@@ -624,6 +637,7 @@ def web_to_frames(web: SyntheticWeb):
                 "transient_count": p.transient_count,
                 "retry_after": p.retry_after,
                 "head_status": p.head_status,
+                "icon_href": p.icon_href,
             }
         )
     drows = []
@@ -651,6 +665,7 @@ _PAGE_DEFAULTS = {
     "transient_count": 0,
     "retry_after": None,
     "head_status": 0,
+    "icon_href": None,
 }
 
 
@@ -690,6 +705,7 @@ def spark_schemas():
             T.StructField("transient_count", T.IntegerType()),
             T.StructField("retry_after", T.StringType()),
             T.StructField("head_status", T.IntegerType()),
+            T.StructField("icon_href", T.StringType()),
         ]
     )
     domains = T.StructType(
@@ -748,6 +764,7 @@ class DomainPagesWeb:
                 transient_count=int(_nn(rec.get("transient_count")) or 0),
                 retry_after=_nn(rec.get("retry_after")),
                 head_status=int(_nn(rec.get("head_status")) or 0),
+                icon_href=_nn(rec.get("icon_href")),
             )
             self._pages[(page.domain, page.path, page.param)] = page
 

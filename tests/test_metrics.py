@@ -81,3 +81,41 @@ def test_output_gate_drops_unaccepted_content(spark, tmp_path):
     for r in cd:
         assert is_content_type_accepted(r["content_type"]), r
         assert not r["url"].endswith("/robots.txt")
+
+
+def test_favicon_record_surfaced(spark, tmp_path):
+    """Custom <link rel=icon> favicons override /favicon.ico and persist
+    in the domain summary (DomainStateDb.saveIcon analogue)."""
+    from marginaliasearch_spark.sources.synthetic_web import generate_web, web_to_frames
+
+    # domain index 3 of a 14+-domain web carries the icon_href arm
+    web, _ = generate_web(seed=42, n_domains=18, mean_pages=8)
+    pages_pdf, domains_pdf = web_to_frames(web)
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+    eng = SparkCrawlEngine(spark, str(tmp_path / "fav"), seed=42, n_buckets=4)
+    eng.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    eng.run_waves(pages, wave_budget=None)
+
+    meta = {r["domain"]: r for r in eng.crawl_meta().collect()}
+    custom = [
+        m for m in meta.values()
+        if m["favicon_url"] and m["favicon_url"].endswith("/assets/icon.png")
+    ]
+    assert custom, "the icon_href arm produced no custom favicon record"
+    assert all(m["favicon_content_type"] == "image/png" for m in custom)
+    # default-path favicons are recorded too (domains with /favicon.ico)
+    assert any(
+        m["favicon_url"] and m["favicon_url"].endswith("/favicon.ico")
+        for m in meta.values()
+    )
+    # the custom icon fetch is in the audit trail
+    log = eng.read_table("fetch_log")
+    assert (
+        log.filter(
+            (F.col("action") == "FETCH_FAVICON")
+            & F.col("url").endswith("/assets/icon.png")
+        ).count()
+        > 0
+    )
