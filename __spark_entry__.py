@@ -546,7 +546,14 @@ def q_simhash_pairs(spark, sf_dir):
     brute force bit-for-bit — including the hamming values."""
     from marginaliasearch_spark.operators.dedup import simhash_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # ASCII-only corpus, same guard as doc_fingerprint: the SQL oracle
+    # hashes code points (ord) while the engine hashes UTF-8 bytes — they
+    # agree exactly on ASCII, so both sides filter identically.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike(r"\A[ -~]*\z"))
+        .select("doc_id", "text")
+    )
     copies = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" x")).alias("text"),
@@ -567,7 +574,7 @@ def q_doc_fingerprint(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents")
-        .filter(F.col("text").rlike("^[ -~]*$"))
+        .filter(F.col("text").rlike(r"\A[ -~]*\z"))
         .select("doc_id", "text")
     )
     return doc_fingerprint(docs).select("doc_id", "fingerprint")

@@ -22,8 +22,8 @@ from __future__ import annotations
 
 import re
 
-_PROBABLE_GOOD = re.compile(r"^.*\.(htm|html|php|txt|md|pdf)$")
-_PROBABLE_BINARY = re.compile(r"^.*\.[a-z]+$")
+_PROBABLE_GOOD = re.compile(r".*\.(htm|html|php|txt|md|pdf)")
+_PROBABLE_BINARY = re.compile(r".*\.[a-z]+")
 
 BLOCKED_CONTENT_TYPES = frozenset({"text/css", "text/javascript"})
 ACCEPTED_CONTENT_TYPE_PREFIXES = (
@@ -43,10 +43,13 @@ ACCEPTED_CONTENT_TYPE_PREFIXES = (
 def is_url_like_binary(path: str) -> bool:
     """True when the URL path looks like a binary file (probe the content
     type with HEAD before spending a GET on it)."""
+    # fullmatch mirrors Java's Pattern.asMatchPredicate() whole-string
+    # semantics: a trailing '\n' (which Python's $ would tolerate under
+    # .match()) must NOT classify like the bare path.
     p = path.lower()
-    if _PROBABLE_GOOD.match(p):
+    if _PROBABLE_GOOD.fullmatch(p):
         return False
-    return bool(_PROBABLE_BINARY.match(p))
+    return bool(_PROBABLE_BINARY.fullmatch(p))
 
 
 def is_allowable_content_type(content_type: str) -> bool:

@@ -64,7 +64,7 @@ def winnowing_fingerprint_sql(threshold_note: str = "") -> str:
 WITH docs AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS arr
-  FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+  FROM documents WHERE regexp_matches(text, '\\A[ -~]*\\z')
 ), words AS (
   SELECT doc_id, i AS pos, arr[i] AS w, len(arr) AS n
   FROM docs, UNNEST(range(1, len(arr) + 1)) t(i)
@@ -184,6 +184,8 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
 
 SIMHASH_UNION_CTE = """allv AS (
   SELECT doc_id, lower(text) AS t FROM documents
+  WHERE regexp_matches(text, '\\A[ -~]*\\z')
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, lower(text || ' x') AS t FROM documents
+  WHERE regexp_matches(text, '\\A[ -~]*\\z')
 )"""

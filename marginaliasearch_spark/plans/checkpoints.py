@@ -160,8 +160,15 @@ class SnapshotCatalog:
             for path in doomed:
                 if path in live or not os.path.exists(path):
                     continue
-                # keep dirs that contain (or live inside) a live path
-                if any(l.startswith(path) or path.startswith(l) for l in live):
+                # keep dirs that contain (or live inside) a live path;
+                # compare whole path components (seen-1 is not a prefix
+                # of seen-10) by appending the separator before testing
+                psep = path.rstrip(os.sep) + os.sep
+                if any(
+                    (l.rstrip(os.sep) + os.sep).startswith(psep)
+                    or psep.startswith(l.rstrip(os.sep) + os.sep)
+                    for l in live
+                ):
                     continue
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
