@@ -536,6 +536,34 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(allv, jaccard_threshold=0.6).select("id_a", "id_b")
 
 
+def q_compose_training_set(spark, sf_dir):
+    """The FULL composition pass through the shipping scale path: the
+    engine groups near-dups with banded MinHash-LSH (capped buckets —
+    the 10^10-row-safe plan), runs connected components and keep-best,
+    and must land on EXACTLY the keep-set the DuckDB oracle derives from
+    exact char-5-gram Jaccard pairs + a recursive-CTE closure +
+    quality-desc/id-asc ranking.  The corpus is documents ∪ planted
+    90%-prefix copies with a measured Jaccard margin gap around the 0.6
+    threshold, so LSH-composed == exact-composed or the gate goes red."""
+    from marginaliasearch_spark.plans.corpus_pipeline import compose_training_set
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    enriched = docs.unionByName(copies).select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("quality_score"),
+        F.lit(0).alias("is_dup_copy"),
+    )
+    kept = compose_training_set(enriched, near_dup_threshold=0.6, id_col="doc_id")
+    return kept.select("doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash NEAR-dup pairs (hamming ≤ 3) against a from-scratch oracle:
     DuckDB recomputes the full signature pipeline FROM TEXT (k=4 byte
@@ -1100,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "compose_training_set": q_compose_training_set,
         "simhash_pairs": q_simhash_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1137,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
     from marginaliasearch_spark.sources.gate_web import oracle_sql as gate_oracle_sql
     from marginaliasearch_spark.oracle.sqlgen import (
         SIMHASH_UNION_CTE,
+        compose_keepset_sql,
         minhash_exact_jaccard_sql,
         simhash_allpairs_sql,
         winnowing_fingerprint_sql,
@@ -1222,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": winnowing_fingerprint_sql(),
         "minhash_lsh_pairs": minhash_exact_jaccard_sql(0.6),
+        "compose_training_set": compose_keepset_sql(0.6),
         "simhash_pairs": simhash_allpairs_sql(SIMHASH_UNION_CTE, 3),
         "payload_validate": """
             SELECT printf('img-%010d', i) AS image_id,

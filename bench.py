@@ -58,6 +58,43 @@ HEADLINE = [
 ]
 
 
+def run_compose_pathological(spark, sf_dir: str) -> float:
+    """compose_training_set on a corpus where EVERY document shares a
+    boilerplate sentence — the worst case for shingle self-joins (one hot
+    shingle in 10^6 docs alone emits ~10^12 intersection rows on the
+    exact path).  The shipping MinHash-LSH grouping path is bounded by
+    construction (banded buckets, degenerate buckets capped), so this
+    row's cost must stay in the same ballpark as the clean-corpus gate
+    query, not explode."""
+    from pyspark.sql import functions as F
+
+    from marginaliasearch_spark.plans.corpus_pipeline import compose_training_set
+
+    boiler = F.lit(
+        " copyright example site all rights reserved navigation home about contact"
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.concat(F.col("text"), boiler).alias("text"))
+    )
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    enriched = docs.unionByName(copies).select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("quality_score"),
+        F.lit(0).alias("is_dup_copy"),
+    )
+    t0 = time.perf_counter()
+    kept = compose_training_set(enriched, near_dup_threshold=0.6, id_col="doc_id")
+    _ = kept.count()
+    return time.perf_counter() - t0
+
+
 def run_crawl_bench(spark, n_domains: int, mean_pages: int, seed: int = 42):
     """Full synthetic-web crawl through the wave engine; returns
     (wall_sec, urls_visited, urls_seen)."""
@@ -121,6 +158,8 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
+
+    timings["compose_pathological"] = round(run_compose_pathological(spark, sf_dir), 3)
 
     crawl_wall, visited, seen = run_crawl_bench(spark, n_domains, mean_pages)
     timings["crawl_e2e"] = round(crawl_wall, 3)

@@ -289,11 +289,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = 0,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard via shingle explode + pair aggregation.
 
     distinct (id, shingle) → self-join on shingle → |∩| per pair →
     |∪| = |A|+|B|−|∩|.  Pure built-in ops; the shingle join is the shuffle.
+
+    The shingle self-join is quadratic in a shingle's document frequency:
+    one boilerplate 3-gram shared by 10^6 docs would alone emit ~10^12
+    intersection rows.  ``max_shingle_df > 0`` drops shingles appearing in
+    more than that many documents BEFORE the join (and recomputes set
+    sizes over the surviving shingles, so the ratio stays a true Jaccard
+    over the non-boilerplate shingle space).  0 = exact Jaccard, no cap —
+    the verification configuration; production corpora should set a cap
+    or use ``minhash_lsh_pairs`` (the scale path, capped by design).
     """
     words = F.split(F.lower(F.col(text_col)), "\\s+")
     grams = docs.select(
@@ -305,6 +315,18 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     ).distinct()
+
+    if max_shingle_df > 0:
+        # hot-shingle list is tiny by construction (df > cap) → broadcast
+        # anti-join; sizes computed AFTER the drop so |A|,|B| and |∩| live
+        # in the same shingle space
+        hot = (
+            grams.groupBy("gram")
+            .count()
+            .filter(F.col("count") > max_shingle_df)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
 
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
 

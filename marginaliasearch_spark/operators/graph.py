@@ -102,15 +102,27 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (id, component)
-    where component = min id in the component (small-label propagation).
+    where component = min id in the component.
 
-    Converges in O(diameter) shuffles; near-dup clusters are shallow, so
-    this terminates in a handful of iterations; an aggregate (not a
-    collect) checks the fixpoint.
-    """
+    Min-label propagation PLUS a pointer-jumping hop each round
+    (``component ← component[component]``, path doubling): a chain of
+    length L collapses in O(log L) rounds instead of O(L), so long
+    near-dup chains (e.g. boilerplate-glued corpora) converge in a
+    handful of shuffles; an aggregate (not a collect) checks the
+    fixpoint."""
+    # both directions from ONE scan of pairs (a union of two selects
+    # would execute the upstream pair pipeline — often an expensive LSH
+    # plan — twice during cache materialization)
     edges = (
-        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("a"), F.col(b_col).alias("b")),
+                    F.struct(F.col(b_col).alias("a"), F.col(a_col).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .cache()
     )
@@ -126,12 +138,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.a, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component ← component's own component (labels are
+        # node ids, so the label table doubles as the pointer table)
+        ptr = stepped.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            stepped.join(ptr, stepped.component == ptr.p_id, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()

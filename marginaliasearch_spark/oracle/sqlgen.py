@@ -182,6 +182,58 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
 """
 
 
+def compose_keepset_sql(threshold: float = 0.6) -> str:
+    """Independent recompute of the FULL composition pass
+    (plans/corpus_pipeline.py::compose_training_set) over the planted
+    margin-gap corpus: exact char-5-gram Jaccard pairs at ``threshold`` →
+    connected components via a recursive-CTE transitive closure →
+    keep-best (quality = char length, DESC; ties by lowest id).  The
+    engine runs the banded MinHash-LSH grouping path; the corpus's
+    measured Jaccard margin gap around the threshold means any banding
+    recall miss, component-label drift, or keep-best tie-break change
+    turns the gate red."""
+    return f"""
+WITH RECURSIVE allv AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         lower(substr(text, 1, CAST(floor(length(text) * 0.9) AS INT))) AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM allv, UNNEST(range(1, greatest(length(t) - 4, 1) + 1)) u(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+members AS (
+  SELECT allv.doc_id AS doc_id, coalesce(comp.component, allv.doc_id) AS cmp,
+         length(allv.t) AS q
+  FROM allv LEFT JOIN comp ON allv.doc_id = comp.id
+), ranked AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY cmp ORDER BY q DESC, doc_id) AS rk
+  FROM members
+)
+SELECT doc_id FROM ranked WHERE rk = 1
+"""
+
+
 SIMHASH_UNION_CTE = """allv AS (
   SELECT doc_id, lower(text) AS t FROM documents
   WHERE regexp_matches(text, '\\A[ -~]*\\z')

@@ -64,35 +64,58 @@ def compose_training_set(
     near_dup_threshold: float = 0.5,
     max_per_lang: int = 0,
     id_col: str = "url",
+    method: str = "minhash_lsh",
+    quality_col: str = "quality_score",
+    max_shingle_df: int = 0,
 ) -> DataFrame:
     """The full composition pass a training-data pipeline runs after
-    enrichment: drop exact-dup copies, group NEAR-dups (word-3-gram
-    Jaccard → connected components) and keep the best-quality member of
-    each group, then optionally cap every language at ``max_per_lang``
-    rows by deterministic hash rank (operators/sampling.py).
+    enrichment: drop exact-dup copies, group NEAR-dups (→ connected
+    components) and keep the best-quality member of each group, then
+    optionally cap every language at ``max_per_lang`` rows by
+    deterministic hash rank (operators/sampling.py).
 
-    Scale shape: the near-dup grouping shuffles only the shingle explode
-    of the deduped survivors; keep-best and the cap are one window each
-    on small keys.  All thresholds and ranks are deterministic — the same
-    corpus composes to the same training set on any cluster.  The stable
-    integer id is xxhash64(url): at 10^10 rows the 64-bit birthday bound
-    expects ~3 id collisions corpus-wide (each silently merges two
-    unrelated docs into one keep-best group) — acceptable for training
-    composition; use a dedicated id column where exactness matters."""
-    from ..operators.dedup import ngram_jaccard_pairs
+    Near-dup grouping methods:
+
+    - ``"minhash_lsh"`` (default, THE scale path): banded MinHash-LSH
+      over char-5-gram signatures (operators/dedup.py::minhash_lsh_pairs)
+      — degenerate buckets are capped, so a boilerplate shingle shared by
+      10^6 docs cannot blow up the candidate join; ``near_dup_threshold``
+      is the estimated-Jaccard cutoff.
+    - ``"ngram_exact"`` (opt-in verifier): exact word-3-gram Jaccard.
+      Unbounded shingle document frequency makes the self-join quadratic
+      in the hottest shingle — only safe on small/verified corpora, or
+      with ``max_shingle_df`` set to cap boilerplate shingles.
+
+    Scale shape: the LSH grouping shuffles only band-hash buckets of the
+    deduped survivors; keep-best and the cap are one window each on small
+    keys.  All thresholds and ranks are deterministic — the same corpus
+    composes to the same training set on any cluster.  The stable integer
+    id is xxhash64(id_col) when the id column is a string (at 10^10 rows
+    the 64-bit birthday bound expects ~3 silent collisions corpus-wide —
+    acceptable for training composition); an integral id column is used
+    directly, collision-free."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
     from ..operators.graph import connected_components
     from ..operators.sampling import balanced_sample, dedup_keep_best
 
     base = enriched.filter(F.col("is_dup_copy") == 0)
-    # stable integer id for grouping/sampling (the url hash is bit-stable)
-    with_id = base.withColumn("_id", F.xxhash64(F.col(id_col)))
-    pairs = ngram_jaccard_pairs(
-        with_id.select(F.col("_id").alias("doc_id"), "text"),
-        threshold=near_dup_threshold,
+    # stable integer id for grouping/sampling; integral ids pass through
+    integral = dict(base.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint")
+    with_id = base.withColumn(
+        "_id", F.col(id_col).cast("long") if integral else F.xxhash64(F.col(id_col))
     )
+    sub = with_id.select(F.col("_id").alias("doc_id"), "text")
+    if method == "minhash_lsh":
+        pairs = minhash_lsh_pairs(sub, jaccard_threshold=near_dup_threshold)
+    elif method == "ngram_exact":
+        pairs = ngram_jaccard_pairs(
+            sub, threshold=near_dup_threshold, max_shingle_df=max_shingle_df
+        )
+    else:
+        raise ValueError(f"unknown near-dup method {method!r}")
     groups = connected_components(pairs)
     kept = dedup_keep_best(
-        with_id, groups, quality_col="quality_score", id_col="_id"
+        with_id, groups, quality_col=quality_col, id_col="_id"
     )
     if max_per_lang > 0:
         kept = balanced_sample(
