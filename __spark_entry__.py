@@ -1012,11 +1012,13 @@ def q_content_probe(spark, sf_dir):
 
 def q_robots_audit(spark, sf_dir):
     """Retroactive robots audit (operators/robots_audit.py): corpus rows
-    re-gated against CURRENT robots texts — broadcast dimension join +
-    Arrow-batched rule evaluation with per-text LRU parse.  Four planted
-    rule variants (404-robots ALLOW_ALL, /private/ prefix, blanket
-    disallow with UA-group override, wildcard *.php$) over three path
-    shapes; the oracle declares each (variant, shape) verdict."""
+    re-gated against CURRENT robots texts — run through the 10^8-domain
+    SHUFFLE-HASH join mode (the scale path; broadcast-vs-shuffle result
+    equality is pytest-pinned in test_robots_audit) with Arrow-batched
+    rule evaluation and per-text LRU parse.  Four planted rule variants
+    (404-robots ALLOW_ALL, /private/ prefix, blanket disallow with
+    UA-group override, wildcard *.php$) over three path shapes; the
+    oracle declares each (variant, shape) verdict."""
     from marginaliasearch_spark.operators.robots_audit import robots_audit
 
     docs = _t(spark, sf_dir, "documents")
@@ -1048,7 +1050,7 @@ def q_robots_audit(spark, sf_dir):
         ],
         "domain string, robots_txt string",
     )
-    return robots_audit(corpus, robots).select(
+    return robots_audit(corpus, robots, join_mode="shuffle").select(
         "doc_id", "domain", F.col("allowed").cast("int").alias("allowed")
     )
 

@@ -53,3 +53,31 @@ def test_audit_plan_broadcasts_dimension(spark):
     plan = robots_audit(corpus, robots)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_audit_shuffle_mode_equals_broadcast(spark):
+    """The 10^8-domain-safe shuffle-hash mode returns the same verdicts as
+    the broadcast mode, and its physical plan genuinely avoids the
+    broadcast (no BroadcastHashJoin; corpus repartitioned by domain)."""
+    corpus, robots = _fixture(spark)
+    b = robots_audit(corpus, robots, join_mode="broadcast")
+    s = robots_audit(corpus, robots, join_mode="shuffle")
+    key = lambda df: sorted((r["url"], r["allowed"]) for r in df.collect())
+    assert key(b) == key(s)
+
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_audit_auto_mode_picks_by_dimension_size(spark):
+    """auto = broadcast under the threshold, shuffle above it."""
+    corpus, robots = _fixture(spark)
+    small = robots_audit(corpus, robots, join_mode="auto", broadcast_threshold=10)
+    big = robots_audit(corpus, robots, join_mode="auto", broadcast_threshold=1)
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    bplan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in splan
+    assert "BroadcastHashJoin" not in bplan
+    key = lambda df: sorted((r["url"], r["allowed"]) for r in df.collect())
+    assert key(small) == key(big)
