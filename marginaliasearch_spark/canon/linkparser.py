@@ -14,7 +14,14 @@ import re
 from typing import Optional
 
 from .queryparams import query_params_sanitizer
-from .url import EdgeUrl, JavaURI, URISyntaxError, parse_uri_lenient, uri_normalize_path
+from .url import (
+    EdgeUrl,
+    JavaURI,
+    URISyntaxError,
+    java_uri_strict,
+    parse_uri_lenient,
+    uri_normalize_path,
+)
 
 BLOCKED_SCHEMA_PREFIXES = ("mailto:", "javascript:", "tel:", "itpc:", "#", "file:")
 
@@ -98,8 +105,14 @@ def resolve_relative_url(base: EdgeUrl, s: str) -> str:
 
 
 def _renormalize(uri: JavaURI) -> JavaURI:
-    """LinkParser.renormalize:125-139 — null path → '/', strip leading /../."""
+    """LinkParser.renormalize:125-139 — null path → '/' (the opaque-URI
+    rewrite: ``new URI(scheme, host, "/", query, fragment)`` drops the
+    opaque scheme-specific part), strip leading /../."""
     path = uri.raw_path
+    if path is None:
+        uri.raw_path = "/"
+        uri.raw_query = None  # opaque URIs have no query component
+        return uri
     if not path:
         uri.raw_path = "/"
         return uri
@@ -110,7 +123,8 @@ def _renormalize(uri: JavaURI) -> JavaURI:
 
 
 def _normalize_uri(uri: JavaURI) -> JavaURI:
-    uri.raw_path = uri_normalize_path(uri.raw_path)
+    if uri.raw_path is not None:  # URI.normalize is identity on opaque URIs
+        uri.raw_path = uri_normalize_path(uri.raw_path)
     return uri
 
 
@@ -121,11 +135,19 @@ from functools import lru_cache
 def _parse_resolved(resolved: str) -> Optional[EdgeUrl]:
     """Parse+normalize a RESOLVED absolute URL string.  Pure and memoized:
     pages link to the same targets over and over (nav links), and the
-    lenient parse + normalize + EdgeUrl construction is the crawl loop's
-    hottest path (profiled ~47% of session time).  EdgeUrl is immutable,
-    so sharing instances is safe."""
+    parse + normalize + EdgeUrl construction is the crawl loop's hottest
+    path (profiled ~47% of session time).  EdgeUrl is immutable, so
+    sharing instances is safe.
+
+    STRICT parse (java_uri_strict), matching LinkParser.createURI's plain
+    ``new URI(s)``:61-69 — no urlencode repair on this path (the lenient
+    EdgeUriFactory pipeline is a different reference entry point, used
+    for seed/spec URLs); a space or bad escape in an absolute href drops
+    the link exactly like the reference, and opaque mailto:/javascript:
+    URIs surviving the un-gated element paths become
+    ``scheme://parse-error.invalid.example.com/`` like the reference."""
     try:
-        uri = parse_uri_lenient(resolved)
+        uri = java_uri_strict(resolved)
     except (URISyntaxError, ValueError):
         return None
     uri = _renormalize(_normalize_uri(uri))

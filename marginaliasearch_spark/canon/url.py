@@ -413,6 +413,130 @@ def basic_normalize(url: str) -> Optional[str]:
 # ---------------------------------------------------------------------------
 
 
+_STRICT_BAD = set(' <>"{}|\\^`')
+
+
+def java_uri_strict(s: str) -> JavaURI:
+    """The single-argument ``new URI(s)`` used by LinkParser.createURI
+    (LinkParser.java:61-69): STRICT parse, no urlencode repair.  Raises
+    URISyntaxError exactly where java.net.URI would for the character
+    classes a crawler meets: control/space and <>"{}|\\^` anywhere,
+    invalid %-escapes, brackets outside an IPv6 authority.  Non-ASCII
+    "other"-category characters are legal (RFC 2396 deviation D).
+
+    Opaque URIs (``mailto:x@y``, ``javascript:alert(1)``) parse with a
+    NULL path/host — LinkParser.renormalize then rewrites them to
+    ``scheme:/`` and EdgeUrl substitutes the parse-error placeholder
+    host, so un-gated element paths (frame src, meta-refresh) emit
+    ``scheme://parse-error.invalid.example.com/`` like the reference.
+    Hierarchical references without authority (``javascript:/x``) keep
+    their path with a null host."""
+    m = re.match(r"([A-Za-z][A-Za-z0-9+.\-]*):", s)
+    if not m:
+        raise URISyntaxError(f"Missing scheme: {s!r}")
+    scheme = m.group(1)
+    rest = s[m.end() :]
+    if not rest:
+        raise URISyntaxError(f"Expected scheme-specific part: {s!r}")
+
+    frag = rest.find("#")
+    if frag >= 0:
+        fragment = rest[frag + 1 :]
+        rest = rest[:frag]
+        if "#" in fragment:
+            raise URISyntaxError(f"Multiple fragments: {s!r}")
+    else:
+        fragment = None
+
+    def _check(part: str, allow_brackets: bool) -> None:
+        i, n = 0, len(part)
+        while i < n:
+            ch = part[i]
+            o = ord(ch)
+            if o < 0x20 or o == 0x7F or ch in _STRICT_BAD:
+                raise URISyntaxError(f"Illegal character in URI: {s!r}")
+            if ch in "[]" and not allow_brackets:
+                raise URISyntaxError(f"Illegal character in URI: {s!r}")
+            if ch == "%":
+                if i + 2 >= n or part[i + 1] not in _HEX or part[i + 2] not in _HEX:
+                    raise URISyntaxError(f"Malformed escape pair: {s!r}")
+                i += 3
+                continue
+            i += 1
+
+    uri = JavaURI.__new__(JavaURI)
+    uri.scheme = scheme
+    uri.raw_fragment = fragment
+    if fragment is not None:
+        _check(fragment, allow_brackets=False)
+
+    if not rest.startswith("/"):
+        # opaque: the whole scheme-specific part is neither path nor query
+        _check(rest, allow_brackets=False)
+        uri.host = None
+        uri.port = -1
+        uri.raw_path = None
+        uri.raw_query = None
+        return uri
+
+    if rest.startswith("//"):
+        rest = rest[2:]
+        q = rest.find("?")
+        if q >= 0:
+            uri.raw_query = rest[q + 1 :]
+            rest = rest[:q]
+        else:
+            uri.raw_query = None
+        slash = rest.find("/")
+        if slash >= 0:
+            authority, uri.raw_path = rest[:slash], rest[slash:]
+        else:
+            authority, uri.raw_path = rest, ""
+        _check(authority, allow_brackets=True)
+        _check(uri.raw_path, allow_brackets=False)
+        if uri.raw_query is not None:
+            _check(uri.raw_query, allow_brackets=False)
+        at = authority.rfind("@")
+        if at >= 0:
+            authority = authority[at + 1 :]
+        uri.port = -1
+        host = authority
+        if host.startswith("["):
+            close = host.find("]")
+            if close < 0:
+                raise URISyntaxError(f"Bad IPv6 authority: {s!r}")
+            if close + 1 < len(host) and host[close + 1] == ":":
+                p = host[close + 2 :]
+                if p.isdigit():
+                    uri.port = int(p)
+            host = host[: close + 1]
+        else:
+            colon = host.rfind(":")
+            if colon >= 0:
+                p = host[colon + 1 :]
+                host = host[:colon]
+                if p.isdigit() and p:
+                    uri.port = int(p)
+                elif p:
+                    raise URISyntaxError(f"Bad port: {s!r}")
+        uri.host = host if host and (_HOSTNAME_RE.match(host) or host.startswith("[")) else None
+        return uri
+
+    # hierarchical without authority: scheme:/path[?query]
+    q = rest.find("?")
+    if q >= 0:
+        uri.raw_query = rest[q + 1 :]
+        rest = rest[:q]
+        _check(uri.raw_query, allow_brackets=False)
+    else:
+        uri.raw_query = None
+    _check(rest, allow_brackets=False)
+    uri.host = None
+    uri.port = -1
+    uri.raw_path = rest
+    return uri
+
+
 def parse_uri_lenient(url: str) -> JavaURI:
     if should_omit_urlencode_repair(url):
         try:

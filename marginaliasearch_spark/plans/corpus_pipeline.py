@@ -38,6 +38,26 @@ def corpus_from_crawl(crawl_data: DataFrame, pages: DataFrame) -> DataFrame:
     return kept.join(bodies, "url").select("url", "domain", "text")
 
 
+def link_edges_from_html(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "body_html",
+) -> DataFrame:
+    """The body-bytes path of the crawl→corpus bridge: stored HTML bodies
+    → (src, dst) candidate link edges through the real extraction kernel
+    (functions/htmllinks.py — the reference's enqueueLinksFromDocument
+    selector set + LinkParser resolution, differentially pinned against
+    the compiled reference).  One narrow Arrow-batched projection +
+    explode; bodies never leave their executor, no shuffle until the
+    caller joins/dedups the edge list."""
+    from ..functions.htmllinks import with_html_links
+
+    linked = with_html_links(docs, html_col=html_col, url_col=url_col)
+    return linked.select(
+        F.col(url_col).alias("src"), F.explode("links").alias("dst")
+    )
+
+
 def enrich_corpus(docs: DataFrame) -> DataFrame:
     """One enrichment pass: language, quality features, token counts,
     winnowing fingerprint, exact-dup keeper flag."""
@@ -129,4 +149,5 @@ __all__ = [
     "corpus_from_crawl",
     "enrich_corpus",
     "exact_dedup",
+    "link_edges_from_html",
 ]
