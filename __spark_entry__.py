@@ -1260,7 +1260,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT printf('img-%010d', i) AS image_id,
                    1 AS decode_ok, 1 AS psnr_ok,
                    1 AS caption_ok, 1 AS phash_match,
-                   'stub' AS codec
+                   CASE WHEN i % 3 = 0 THEN 'png' ELSE 'stub' END AS codec
             FROM generate_series(0, 63) t(i)
         """,
         "minhash_dup_pairs": """

@@ -45,6 +45,7 @@ except ImportError:
 IMAGE_BACKEND = "pil" if HAVE_PIL else "stub"
 
 MAGIC = b"MSPK"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 LOSSY_FORMATS = frozenset({"jpeg", "webp"})
 _FMT_CODES = {"png": 0, "jpeg": 1, "webp": 2}
 _FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
@@ -52,23 +53,160 @@ _FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
 
 def image_backend_of(data: bytes) -> str:
     """Which decoder a payload will route to: 'stub' for the MSPK
-    container, 'pil' for real formats when PIL is importable, 'none'
-    otherwise (decode will raise)."""
+    container, 'png' for real PNG (stdlib decoder — ALWAYS available,
+    like the WAV audio path), 'pil' for other real formats when PIL is
+    importable, 'none' otherwise (decode will raise)."""
     if data and bytes(data[:4]) == MAGIC:
         return "stub"
+    if data and bytes(data[:8]) == PNG_MAGIC:
+        return "png"
     return "pil" if HAVE_PIL else "none"
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline PNG, stdlib-only (zlib inflate/deflate + filter recon).
+# The real-image counterpart of the always-on RIFF/WAVE audio path: the
+# real-codec branch runs in every environment, not only where PIL is
+# installed.  Spec: RFC 2083 — 8-bit depth, color types 0/2/4/6,
+# filters 0-4 (None/Sub/Up/Average/Paeth), no interlace.
+# ---------------------------------------------------------------------------
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 → real PNG bytes (8-bit truecolor, filter 0 rows)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected HxWx3 uint8")
+    h, w, _ = arr.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level=6)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    """Real PNG bytes → HxWx3 uint8 (alpha dropped, grayscale broadcast).
+    Raises ValueError on corruption or features outside baseline
+    (16-bit depth, palette, interlace) — those fall back to PIL when
+    available."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError("chunk CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or comp != 0 or filt != 0:
+                raise ValueError("unsupported bit depth / methods")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            if color_type not in (0, 2, 4, 6):
+                raise ValueError("palette PNG unsupported")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad IDAT length")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub — sequential in x, vectorized over channels
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(height, width, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px.copy()
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA → drop alpha (PIL convert("RGB"))
 
 
 def encode_image(arr: np.ndarray, fmt: str, backend: str = "stub") -> bytes:
     """arr: HxWx3 uint8 → container bytes.
 
     backend='stub' (default, always available, deterministic): MSPK
-    container, lossy fmts quantized to 6 bits.  backend='pil': real
-    PNG/JPEG/WEBP bytes via PIL (raises if PIL is absent)."""
+    container, lossy fmts quantized to 6 bits.  backend='real': REAL
+    bytes — stdlib baseline PNG for fmt='png' (always available, like the
+    WAV audio path), PIL for jpeg/webp (raises if PIL is absent).
+    backend='pil': real bytes via PIL for any fmt."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("expected HxWx3 uint8")
     if fmt not in _FMT_CODES:
         raise ValueError(f"unknown fmt {fmt!r}")
+    if backend == "real":
+        if fmt == "png":
+            return encode_png(arr)
+        backend = "pil"
     if backend == "pil":
         if not HAVE_PIL:
             raise ValueError("PIL not available for backend='pil'")
@@ -93,6 +231,14 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         raise ValueError("empty payload")
     data = bytes(data)
     if data[:4] != MAGIC:
+        if data[:8] == PNG_MAGIC:
+            # REAL path, stdlib, always on; PIL only for non-baseline
+            # variants (palette/16-bit/interlace)
+            try:
+                return _png_decode(data), "png"
+            except ValueError:
+                if not HAVE_PIL:
+                    raise
         if HAVE_PIL:
             import io
 

@@ -32,7 +32,10 @@ def make_image(seed: int, i: int) -> tuple[np.ndarray, str]:
     rng = np.random.default_rng([seed, i])
     w = int(rng.choice(_SIZES))
     h = int(rng.choice(_SIZES))
-    fmt = str(rng.choice(_FMTS))
+    # fmt by index, not rng: SQL-mirrorable (the payload gate's oracle
+    # declares the per-row codec as CASE i % 3), and every 3rd row rides
+    # the REAL stdlib PNG path
+    fmt = _FMTS[i % len(_FMTS)]
     yy, xx = np.mgrid[0:h, 0:w]
     base = (
         128
@@ -55,7 +58,9 @@ def make_caption(seed: int, i: int) -> str:
 
 def corpus_row(seed: int, i: int) -> dict:
     arr, fmt = make_image(seed, i)
-    data = encode_image(arr, fmt)
+    # png rows carry REAL PNG bytes (stdlib codec, always decodable);
+    # lossy fmts use the deterministic stand-in container
+    data = encode_image(arr, fmt, backend="real" if fmt == "png" else "stub")
     # phash of the *decoded* image (FIXTURES.md §1) so stored hash and
     # decode-time verification agree even for lossy formats
     decoded, _ = decode_image(data)
