@@ -153,6 +153,10 @@ class DomainCrawlSession:
         self.feed_url: Optional[str] = None  # discovered feed (DomainStateDb)
         self.favicon_url: Optional[str] = None  # stored icon (saveIcon analogue)
         self.favicon_content_type: Optional[str] = None
+        # per-domain cookie jar (DomainCookies.java; one per CrawlerRetreiver)
+        from ..functions.cookies import DomainCookies
+
+        self.cookies = DomainCookies()
 
         # per-wave output buffers (drained by the caller)
         self.new_crawl_data: list[dict] = []
@@ -258,7 +262,7 @@ class DomainCrawlSession:
             if redirects >= 5:
                 break
             top = urls.pop(0)
-            page, _, _ = self._client_fetch(top)
+            page, _, _ = self._client_fetch(top, use_jar=False)
             status = page.status
             if not try_get and page.head_status:
                 status = page.head_status
@@ -386,6 +390,7 @@ class DomainCrawlSession:
         url: EdgeUrl,
         etag: Optional[str] = None,
         last_modified: Optional[str] = None,
+        use_jar: bool = True,
     ) -> tuple[Page, bool, int]:
         """The HTTP client's in-client retry ladder (ref:
         HttpFetcherImpl.retryRequest, HttpFetcherImpl.java:657-678):
@@ -403,6 +408,13 @@ class DomainCrawlSession:
             s = page.status
             retry = (s == 429 and attempt <= 3) or (s in (500, 503) and attempt <= 2)
             if not retry:
+                # the jar updates on every response the domain's fetcher
+                # sees (WarcRecorder.java:114, probeContentType
+                # HttpFetcherImpl.java:349) — BEFORE any record is
+                # written; the domain-root probe walk does not carry the
+                # jar (probeDomain uses a bare client)
+                if use_jar and page.set_cookie:
+                    self.cookies.update_from_set_cookie([page.set_cookie])
                 return page, got304, attempt - 1
             self._log(str(url), "FETCH_RETRY", s)
             self.timer.sleep(self._retry_interval_ms(s, page.retry_after))
@@ -483,6 +495,10 @@ class DomainCrawlSession:
             "image_id": page.image_id,
             "etag": page.etag,
             "last_modified": page.last_modified,
+            # the Slop `cookies` byte column / X-Has-Cookies WARC marker
+            # (SlopCrawlDataRecord.java:48; WarcRecorder.java:140-141) —
+            # jar state AFTER this response updated it
+            "has_cookies": 1 if self.cookies.has_cookies() else 0,
             # 8-byte content fingerprint stored in lieu of the body — the
             # next recrawl's LSH "is content same" arm reads it back.
             # Bodies past the 32 MB budget are clipped first, exactly like
@@ -849,6 +865,7 @@ class DomainCrawlSession:
                 "slow_down": self.timer.slow_down,
                 "crawl_delay_ms": self.rules.crawl_delay_ms,
                 "robots": self.rules.to_dict(),
+                "cookies": self.cookies.cookies,
             }
         )
 
@@ -879,6 +896,9 @@ class DomainCrawlSession:
         sess.favicon_content_type = st.get("favicon_content_type")
         sess.rules = RobotRules.from_dict(st["robots"])
         sess.timer = Timer(st["crawl_delay_ms"], clock_ms=st["clock_ms"], slow_down=st["slow_down"])
+        from ..functions.cookies import DomainCookies
+
+        sess.cookies = DomainCookies(st.get("cookies") or {})
 
         queued = sorted(
             (r for r in frontier_rows if r["state"] == QUEUED), key=lambda r: r["seq"]

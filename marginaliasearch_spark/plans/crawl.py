@@ -94,6 +94,7 @@ WAVE_OUT_SCHEMA = T.StructType(
         T.StructField("phash", T.LongType()),    # inline payload validation
         T.StructField("psnr_ok", T.IntegerType()),
         T.StructField("lsh64", T.LongType()),    # content fingerprint (revisit)
+        T.StructField("has_cookies", T.IntegerType()),  # Slop `cookies` column
     ]
 )
 
@@ -253,6 +254,7 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
                     phash=rec.get("phash"),
                     psnr_ok=(None if "psnr_ok" not in rec else int(rec["psnr_ok"])),
                     lsh64=rec.get("lsh64"),
+                    has_cookies=int(rec.get("has_cookies", 0)),
                 )
             )
         if phase == "active":
@@ -288,7 +290,7 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
         pdf = pd.DataFrame(out, columns=_OUT_COLS, dtype=object)
         for col in ("url_hash", "seq", "virtual_ms", "idx", "phash", "lsh64"):
             pdf[col] = pdf[col].astype("Int64")
-        for col in ("http_status", "psnr_ok"):
+        for col in ("http_status", "psnr_ok", "has_cookies"):
             pdf[col] = pdf[col].astype("Int32")
         return pdf
 
@@ -378,7 +380,8 @@ class SparkCrawlEngine:
             return self._wave_view(
                 "crawl_data",
                 ["domain", "url", "http_status", "content_type", "image_id",
-                 "etag", "last_modified", "phash", "psnr_ok", "lsh64", "wave", "idx"],
+                 "etag", "last_modified", "phash", "psnr_ok", "lsh64",
+                 "has_cookies", "wave", "idx"],
             )
         if table == "fetch_log":
             v = self._wave_view(

@@ -68,6 +68,10 @@ class Page:
     # <link rel="icon" href=...> on the page (the sniff overrides the
     # default /favicon.ico with it — CrawlerRetreiver.java:333-339)
     icon_href: Optional[str] = None
+    # Set-Cookie header served with this page's response; feeds the
+    # per-domain cookie jar (DomainCookies.java) whose non-emptiness is
+    # the has_cookies marker on every subsequent stored record
+    set_cookie: Optional[str] = None
 
 
 @dataclass
@@ -483,6 +487,18 @@ def generate_web(
             last_modified = (
                 "Mon, 01 Jan 2024 00:00:00 GMT" if prng.random() < 0.5 else None
             )
+            # ~10% of pages set a session cookie (Path attribute dropped by
+            # the jar parse, like the reference's first-;-part rule).
+            # Derived from a CRC, NOT prng — planting cookies must not
+            # shift the shared RNG stream (the web, and therefore the
+            # bench visited set, stays identical across rounds)
+            import zlib as _zlib
+
+            set_cookie = (
+                f"sid={i}-{idx}; Path=/"
+                if _zlib.crc32(f"ck|{name}|{path}|{param}".encode()) % 10 == 0
+                else None
+            )
             body_text = None
             if status == 200:
                 # deterministic pseudo-HTML body — the LSH content-compare
@@ -513,6 +529,7 @@ def generate_web(
                 transient_status=transient_status,
                 transient_count=transient_count,
                 retry_after=retry_after,
+                set_cookie=set_cookie,
             )
             pages[(name, path, param)] = page
 
@@ -638,6 +655,7 @@ def web_to_frames(web: SyntheticWeb):
                 "retry_after": p.retry_after,
                 "head_status": p.head_status,
                 "icon_href": p.icon_href,
+                "set_cookie": p.set_cookie,
             }
         )
     drows = []
@@ -666,16 +684,26 @@ _PAGE_DEFAULTS = {
     "retry_after": None,
     "head_status": 0,
     "icon_href": None,
+    "set_cookie": None,
 }
+
+
+_PAGE_COLUMNS = [
+    "domain", "path", "param", "url", "status", "redirect_to",
+    "content_type", "image_id", "base_href", "links", "feed_links",
+    "body_marker", "etag", "last_modified", "body_text",
+    "transient_status", "transient_count", "retry_after", "head_status",
+    "icon_href", "set_cookie",
+]
 
 
 def normalize_pages_pdf(pdf):
     """Fill schema columns a hand-built fixture omitted with their defaults
-    (new optional columns never break existing fixtures)."""
+    and put columns in schema order (createDataFrame maps by position)."""
     for col, default in _PAGE_DEFAULTS.items():
         if col not in pdf.columns:
             pdf[col] = default
-    return pdf
+    return pdf[_PAGE_COLUMNS]
 
 
 def spark_schemas():
@@ -706,6 +734,7 @@ def spark_schemas():
             T.StructField("retry_after", T.StringType()),
             T.StructField("head_status", T.IntegerType()),
             T.StructField("icon_href", T.StringType()),
+            T.StructField("set_cookie", T.StringType()),
         ]
     )
     domains = T.StructType(
@@ -765,6 +794,7 @@ class DomainPagesWeb:
                 retry_after=_nn(rec.get("retry_after")),
                 head_status=int(_nn(rec.get("head_status")) or 0),
                 icon_href=_nn(rec.get("icon_href")),
+                set_cookie=_nn(rec.get("set_cookie")),
             )
             self._pages[(page.domain, page.path, page.param)] = page
 
