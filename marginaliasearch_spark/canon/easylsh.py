@@ -84,11 +84,8 @@ def content_hash(body) -> int:
     fields = np.bincount(field, weights=value, minlength=64).astype(np.int64)
 
     # get(): val = (val << 1) | (field >>> 31)  — sign bit of the int32 counter
-    bits = (fields.astype(np.int32) < 0).astype(np.uint64)
-    val = np.uint64(0)
-    for bit in bits:
-        val = (val << np.uint64(1)) | bit
-    return int(val)
+    bits = (fields.astype(np.int32) < 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
 def hamming(a: int, b: int) -> int:

@@ -61,9 +61,12 @@ def is_url_relevant(href: Optional[str]) -> bool:
     return True
 
 
+_WS_TABLE = str.maketrans("", "", " \r\n\t")
+
+
 def clean_href(href: str) -> str:
     """Strip whitespace chars anywhere; drop #anchor (if not at index 0)."""
-    url = "".join(c for c in href if c not in _WHITESPACE)
+    url = href.translate(_WS_TABLE)
     anchor = url.find("#")
     if anchor > 0:
         return url[:anchor]
@@ -157,18 +160,30 @@ def _parse_resolved(resolved: str) -> Optional[EdgeUrl]:
         return None
 
 
-def parse_link(base: EdgeUrl, href: str) -> Optional[EdgeUrl]:
-    """LinkParser.parseLink(baseUrl, String):81-88 — resolve + normalize.
-
-    The anchor-element form additionally applies ``is_url_relevant``/
-    ``is_rel_relevant``/``clean_href`` first and rejects binary-suffix paths
-    afterwards; use ``parse_link_from_anchor``.
-    """
+@lru_cache(maxsize=1 << 16)
+def _parse_link_cached(
+    proto: str, port, base: EdgeUrl, href: str
+) -> Optional[EdgeUrl]:
+    # proto and port ride the key explicitly: EdgeUrl equality ignores
+    # them (EdgeUrl.java:161-188) but resolution must not — a
+    # scheme-relative href resolves against the base's proto
     try:
         resolved = resolve_relative_url(base, href)
     except (URISyntaxError, ValueError):
         return None
     return _parse_resolved(resolved)
+
+
+def parse_link(base: EdgeUrl, href: str) -> Optional[EdgeUrl]:
+    """LinkParser.parseLink(baseUrl, String):81-88 — resolve + normalize.
+    Memoized on (base, href): nav links repeat on every page of a
+    domain, and resolution is the crawl loop's hottest path.
+
+    The anchor-element form additionally applies ``is_url_relevant``/
+    ``is_rel_relevant``/``clean_href`` first and rejects binary-suffix paths
+    afterwards; use ``parse_link_from_anchor``.
+    """
+    return _parse_link_cached(base.proto, base.port, base, href)
 
 
 def parse_link_from_anchor(

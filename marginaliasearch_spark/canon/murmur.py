@@ -59,11 +59,36 @@ def _utf16_codes(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-16-le"), dtype="<u2")
 
 
+_POW31 = np.empty(0, dtype=np.uint64)
+
+
+def _pow31(n: int) -> np.ndarray:
+    """31^(n-1-i) mod 2^32 for i in [0,n) — grown on demand, cached."""
+    global _POW31
+    if len(_POW31) < n:
+        m = max(n, 256)
+        p = np.empty(m, dtype=np.uint64)
+        p[m - 1] = 1
+        for i in range(m - 2, -1, -1):
+            p[i] = (p[i + 1] * np.uint64(31)) & np.uint64(0xFFFFFFFF)
+        _POW31 = p
+    return _POW31[len(_POW31) - n :]
+
+
 def java_string_hashcode(s: str) -> int:
-    """Java String.hashCode(): h = 31*h + c over UTF-16 code units, int32."""
-    h = 0
-    for c in _utf16_codes(s):
-        h = (h * 31 + int(c)) & 0xFFFFFFFF
+    """Java String.hashCode(): h = 31*h + c over UTF-16 code units, int32.
+    Vectorized as a dot product with 31^k mod 2^32 (n·2^16·2^32 < 2^64,
+    so the uint64 accumulator cannot overflow for any real URL)."""
+    codes = _utf16_codes(s)
+    n = len(codes)
+    if n == 0:
+        return 0
+    if n >= (1 << 16):  # accumulator overflow guard: scalar fallback
+        h = 0
+        for c in codes:
+            h = (h * 31 + int(c)) & 0xFFFFFFFF
+        return h - (1 << 32) if h >= (1 << 31) else h
+    h = int((codes.astype(np.uint64) * _pow31(n)).sum()) & 0xFFFFFFFF
     # sign-extend to Java int
     return h - (1 << 32) if h >= (1 << 31) else h
 

@@ -55,7 +55,17 @@ def _is_url_safe(c: str) -> bool:
     return c in _SAFE
 
 
+# fast paths: a segment of only URL-safe chars (no '%' escapes to
+# validate) never needs encoding, and a path of only safe chars and
+# single slashes round-trips unchanged — C-speed regex instead of the
+# per-char Python loop for the overwhelmingly common clean case
+_ALLSAFE_SEG_RE = re.compile(r"[A-Za-z0-9\-_.~+]*\Z")
+_ALLSAFE_PATH_RE = re.compile(r"[A-Za-z0-9\-_.~+/]+\Z")
+
+
 def needs_url_encode(element: str) -> bool:
+    if _ALLSAFE_SEG_RE.fullmatch(element):
+        return False
     i = 0
     n = len(element)
     while i < n:
@@ -89,6 +99,8 @@ def urlencode_path(path: str) -> str:
     segment needs it, skip empty segments (collapses '//'), keep trailing /."""
     if not path:
         return ""
+    if path[0] == "/" and "//" not in path and _ALLSAFE_PATH_RE.fullmatch(path):
+        return path
     parts = [p for p in path.split("/") if p]
     if not parts:
         return "/"
@@ -128,8 +140,19 @@ def urlencode_query(query: str) -> str:
     return "".join(out)
 
 
+_OMIT_REPAIR_FAST = re.compile(
+    r"[A-Za-z]+://[A-Za-z0-9\-_.~:@]*"
+    r"(/[A-Za-z0-9\-_.~/]*(\?[A-Za-z0-9\-_.~&=]*)?)?\Z"
+)
+
+
 def should_omit_urlencode_repair(url: str) -> bool:
-    """Fast-path validity heuristic (EdgeUriFactory:390-435), ported exactly."""
+    """Fast-path validity heuristic (EdgeUriFactory:390-435), ported exactly.
+    A regex pre-pass accepts the overwhelmingly common all-safe URL at C
+    speed (strict subset of the loop's accepting language); everything
+    else runs the exact per-char port."""
+    if _OMIT_REPAIR_FAST.fullmatch(url):
+        return True
     idx = 0
     n = len(url)
 
@@ -213,6 +236,8 @@ def find_path_idx(url: str) -> int:
 
 _HOSTNAME_RE = re.compile(r"[A-Za-z0-9]([A-Za-z0-9\-]*[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9\-]*[A-Za-z0-9])?)*\.?\Z")
 _BAD_URI_CHARS = set(' <>"{}|\\^`')
+# C-speed pre-pass for the ctor's char validation (subset: clean accepts)
+_URI_CHARS_OK_RE = re.compile('[^\x00-\x20<>"{}|\\\\^`]*\\Z')
 
 
 def percent_decode(s: str) -> str:
@@ -239,10 +264,11 @@ class JavaURI:
     __slots__ = ("scheme", "host", "port", "raw_path", "raw_query", "raw_fragment")
 
     def __init__(self, s: str):
-        for ch in s:
-            o = ord(ch)
-            if o < 0x20 or ch in _BAD_URI_CHARS:
-                raise URISyntaxError(f"Illegal character in URI: {s!r}")
+        if not _URI_CHARS_OK_RE.fullmatch(s):
+            for ch in s:
+                o = ord(ch)
+                if o < 0x20 or ch in _BAD_URI_CHARS:
+                    raise URISyntaxError(f"Illegal character in URI: {s!r}")
         m = re.match(r"([A-Za-z][A-Za-z0-9+.\-]*):", s)
         if not m:
             raise URISyntaxError(f"Missing scheme: {s!r}")
@@ -414,6 +440,10 @@ def basic_normalize(url: str) -> Optional[str]:
 
 
 _STRICT_BAD = set(' <>"{}|\\^`')
+# fast paths for the strict char validation: anything outside control
+# chars and the illegal set, with no '%' escapes or brackets to examine
+_CHECK_FAST_NOBRACKET = re.compile('[^\x00-\x20\x7f<>"{}|\\\\^`\\[\\]%]*\\Z')
+_CHECK_FAST_BRACKET = re.compile('[^\x00-\x20\x7f<>"{}|\\\\^`%]*\\Z')
 
 
 def java_uri_strict(s: str) -> JavaURI:
@@ -449,6 +479,9 @@ def java_uri_strict(s: str) -> JavaURI:
         fragment = None
 
     def _check(part: str, allow_brackets: bool) -> None:
+        fast = _CHECK_FAST_BRACKET if allow_brackets else _CHECK_FAST_NOBRACKET
+        if fast.fullmatch(part):
+            return
         i, n = 0, len(part)
         while i < n:
             ch = part[i]
