@@ -347,6 +347,8 @@ class SparkCrawlEngine:
         seed: int = 42,
         n_buckets: int = 32,
         validate_inline: bool = False,
+        global_request_cap: Optional[int] = None,
+        conn_launches_per_wave: Optional[int] = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -354,6 +356,21 @@ class SparkCrawlEngine:
         self.seed = seed
         self.n_buckets = n_buckets
         self.validate_inline = validate_inline
+        # opt-in politeness analogues of the reference's two global
+        # throttles (both default OFF — they are single-JVM niceness
+        # mechanisms, meaningless for result semantics):
+        #  - global_request_cap: HttpFetcherImpl's 512-permit global
+        #    request semaphore (ref: crawling-process/java/nu/marginalia/
+        #    crawl/fetcher/HttpFetcherImpl.java `requestSema`) — since a
+        #    domain session runs one request at a time, the cap bounds
+        #    concurrently-fetching DOMAINS; the wave analogue is "at most
+        #    N domains advance per scheduling quantum".
+        #  - conn_launches_per_wave: the connection-launch throttle that
+        #    staggers NEW connections on startup (CrawlerMain's task-spawn
+        #    pacing) — wave analogue: at most C domains may transition
+        #    pending→active per wave.
+        self.global_request_cap = global_request_cap
+        self.conn_launches_per_wave = conn_launches_per_wave
         # the bucket layout is a property of the PERSISTED run, not the
         # instance: a resume engine constructed with a different n_buckets
         # would re-derive wrong bucket keys and corrupt the frontier COW
@@ -655,6 +672,30 @@ class SparkCrawlEngine:
                     .filter(F.col("_slot") <= permits_col(F.col("top_domain")))
                     .drop("_slot")
                 )
+            if self.conn_launches_per_wave is not None:
+                # connection-launch throttle: only the first C pending
+                # domains (deterministic domain order) may START this
+                # wave; mid-crawl domains are unaffected.  Global
+                # sort-limit compiles to TakeOrderedAndProject — a top-C
+                # selection, not a single-partition shuffle of the state.
+                launching = (
+                    active.filter(F.col("phase") == "pending")
+                    .orderBy("domain")
+                    .limit(int(self.conn_launches_per_wave))
+                )
+                active = active.filter(F.col("phase") == "active").unionByName(
+                    launching
+                )
+            if self.global_request_cap is not None:
+                # global request semaphore: at most N domains in flight
+                # per quantum; holders (phase='active') outrank waiters,
+                # ties broken by domain — the same grant discipline as the
+                # per-top-domain permits above.  Skipped domains carry
+                # their state rows forward untouched and retry next wave.
+                active = active.orderBy(
+                    F.desc((F.col("phase") == "active").cast("int")),
+                    F.col("domain"),
+                ).limit(int(self.global_request_cap))
             # the runnable set is consumed by ~6 downstream plans this wave
             # (left build, frontier semi-join, pages semi-join, dirty
             # collect, carry anti-join) — cache it so each doesn't re-scan

@@ -38,6 +38,14 @@ def main() -> None:
         help="after the run, fold per-wave output dirs into one "
         "row_kind-partitioned table and expire superseded snapshots "
         "(rewrite_data_files + expire_snapshots analogues)")
+    ap.add_argument(
+        "--global-request-cap", type=int, default=None,
+        help="at most N domains in flight per wave (the reference's "
+        "512-permit global request semaphore; niceness-only)")
+    ap.add_argument(
+        "--conn-launches-per-wave", type=int, default=None,
+        help="at most C domains may start crawling per wave (the "
+        "reference's connection-launch stagger; niceness-only)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,7 +68,9 @@ def main() -> None:
     specs = domains.select("domain", "crawl_depth", "seed_urls")
 
     engine = SparkCrawlEngine(
-        spark, args.out, seed=args.seed, validate_inline=args.validate_inline
+        spark, args.out, seed=args.seed, validate_inline=args.validate_inline,
+        global_request_cap=args.global_request_cap,
+        conn_launches_per_wave=args.conn_launches_per_wave,
     )
     t0 = time.perf_counter()
     engine.init_run(domains, specs)
