@@ -157,7 +157,14 @@ def minhash_lsh_pairs(
     self-join blow-up at scale.
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash(docs, text_col, num_hashes, k, seed).select(id_col, "minhash")
+    # the signature subtree feeds three branches of the DAG (bucket-size
+    # census + both sides of the self-join); without a persist the pandas
+    # UDF kernel — the dominant compute — runs 3x
+    sig = (
+        with_minhash(docs, text_col, num_hashes, k, seed)
+        .select(id_col, "minhash")
+        .persist()
+    )
 
     band_cols = [
         F.xxhash64(
@@ -187,21 +194,23 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id_b"),
         F.col("minhash").alias("mh_b"),
     )
-    pairs = (
-        a.join(b, "band_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "mh_a", "mh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
     est = F.aggregate(
         F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
+    # estimate BEFORE the pair dedup: candidate volume is Σ bucket² (a
+    # boilerplate-heavy corpus emits millions of sub-threshold candidates),
+    # so the threshold filter runs map-side in the join stage and only
+    # id-pairs above threshold — not 1 KB of signature arrays per
+    # candidate — reach the dropDuplicates shuffle
     return (
-        pairs.withColumn("jaccard_est", est.cast("double"))
+        a.join(b, "band_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_est", est.cast("double"))
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_est")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -257,8 +266,11 @@ def simhash_pairs(
         F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
         for i in range(4)
     ]
-    t = sigs.select(id_col, "simhash", *chunks)
+    # the signature subtree feeds all 8 branches of the 4 chunk self-joins;
+    # persist so the pandas UDF kernel runs once, not 8x
+    t = sigs.select(id_col, "simhash", *chunks).persist()
 
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     parts = []
     for i in range(4):
         a = t.select(
@@ -267,15 +279,20 @@ def simhash_pairs(
         b = t.select(
             F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{i}").alias("ck")
         )
-        parts.append(a.join(b, "ck").filter(F.col("id_a") < F.col("id_b")).drop("ck"))
+        parts.append(
+            # hamming filter inside each join stage: only true near-dup
+            # pairs — not every chunk-collision candidate — reach the
+            # cross-chunk dedup shuffle
+            a.join(b, "ck")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
-    )
+    return cand.dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------

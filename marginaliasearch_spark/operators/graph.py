@@ -142,6 +142,7 @@ def connected_components(
             neighbor_min, labels.id == neighbor_min.a, "left"
         ).select(
             "id",
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
             ).alias("component"),
@@ -151,24 +152,24 @@ def connected_components(
         ptr = stepped.select(
             F.col("id").alias("p_id"), F.col("component").alias("p_comp")
         )
-        new_labels = (
+        # the fixpoint flag rides the checkpointed rows: detecting
+        # convergence is then a scan of materialized data, not an extra
+        # old⋈new join-shuffle per round
+        flagged = (
             stepped.join(ptr, stepped.component == ptr.p_id, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
+                "old_component",
             )
+            .withColumn("_changed", F.col("component") != F.col("old_component"))
+            .drop("old_component")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        labels = flagged.drop("_changed")
+        if flagged.filter(F.col("_changed")).isEmpty():
             break
     edges.unpersist()  # labels are checkpointed — the cache is releasable
     return labels
