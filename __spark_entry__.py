@@ -242,6 +242,49 @@ def q_url_hash64(spark, sf_dir):
     )
 
 
+_HTML_FIXTURE_URLS = {
+    # fixture file → document URL; the same mapping the compiled-reference
+    # harness used when producing tests/golden/htmllinks_diff.tsv
+    "basic.html": "https://www.site.example.com/dir/index.html",
+    "basehref.html": "https://orig.example.com/old/place.html",
+    "baserel.html": "https://host.example.com/a/b/c.html",
+    "metarefresh.html": "https://meta.example.com/start.html",
+    "frames.html": "https://frames.example.com/fs/main.html",
+    "relnextprev.html": "https://blog.example.com/page/2",
+    "entities.html": "https://ent.example.com/base/doc.html",
+    "malformed.html": "https://mal.example.com/m/x.html",
+    "fuzz.html": "https://fuzz.example.com/base/other.html",
+}
+
+
+def q_html_link_extract(spark, sf_dir):
+    """Real-HTML link extraction (functions/htmllinks.py — the jsoup
+    selector set of DomainCrawlFrontier.enqueueLinksFromDocument:214-237
+    + LinkParser resolution) over the fixture HTML corpus, preserving
+    document order.  The oracle is the golden link table produced by
+    COMPILING the reference's LinkParser + enqueue loop and replaying it
+    over the same fixtures (tests/golden/htmllinks_diff.tsv) — base-href,
+    meta-refresh, frames, rel=next/prev, entity and malformed arms all
+    included."""
+    import os as _os
+
+    from marginaliasearch_spark.functions.htmllinks import with_html_links
+
+    fx = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "tests", "fixtures", "html"
+    )
+    rows = [
+        (name, url, open(_os.path.join(fx, name), encoding="utf-8").read())
+        for name, url in sorted(_HTML_FIXTURE_URLS.items())
+    ]
+    df = spark.createDataFrame(rows, "doc_name string, url string, body_html string")
+    return (
+        with_html_links(df)
+        .select("doc_name", F.posexplode("links").alias("seq", "link"))
+        .select("doc_name", F.col("seq").cast("long").alias("seq"), "link")
+    )
+
+
 def q_blocklist_filter(spark, sf_dir):
     """UrlBlocklist admission control as pure Column predicates
     (UrlBlocklist.java:15-94) over synthesized paths."""
@@ -1113,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_budget": q_error_budget,
         "url_canonicalize": q_url_canonicalize,
         "url_hash64": q_url_hash64,
+        "html_link_extract": q_html_link_extract,
         "blocklist_filter": q_blocklist_filter,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_topn": q_revenue_topn,
@@ -1188,12 +1232,23 @@ def oracle_sql() -> dict[str, str]:
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
     )
+    _html_gold = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "htmllinks_diff.tsv",
+    )
     return {
         "url_hash64": f"""
             SELECT g.doc_id, g.url_hash
             FROM read_csv('{_gold}', delim='\t', header=false,
                           columns={{'doc_id': 'BIGINT', 'url_hash': 'BIGINT'}}) g
             JOIN documents d ON d.doc_id = g.doc_id
+        """,
+        "html_link_extract": f"""
+            SELECT name AS doc_name, CAST(seq AS BIGINT) AS seq, url AS link
+            FROM read_csv('{_html_gold}', delim='\t', header=false,
+                          columns={{'name': 'VARCHAR', 'seq': 'VARCHAR',
+                                    'url': 'VARCHAR'}})
+            WHERE seq NOT IN ('ERR', 'EMPTY')
         """,
         "crawl_visited_set": gate_oracle_sql(gate_dir),
         "recrawl_retention": recrawl_oracle_sql(rc_dir),
