@@ -1007,6 +1007,46 @@ def q_retry_ladder(spark, sf_dir):
     )
 
 
+def q_cookie_markers(spark, sf_dir):
+    """Per-domain cookie jar gate: planted Set-Cookie responses (set at
+    root, mid-crawl, never, bare-token-only, empty-value) must produce
+    exactly the has_cookies marker per stored record — the Slop `cookies`
+    byte column / X-Robots `X-Has-Cookies` marker
+    (SlopCrawlDataRecord.java:45-54, DomainCookies.java,
+    WarcRecorder.java:114,140: jar updates from the response BEFORE the
+    record is written).  Oracle = the planted truth table derived from the
+    jar's public parse contract."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_cookie_export,
+        generate_cookie_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+
+    ensure_cookie_export()
+    pages_rows, domains_rows, _ = generate_cookie_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    out_dir = tempfile.mkdtemp(prefix="msx_ck_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    engine.run_waves(pages, wave_budget=None)
+    return (
+        engine.read_table("crawl_data")
+        .select(
+            "domain",
+            "url",
+            F.col("has_cookies").cast("long").alias("has_cookies"),
+        )
+    )
+
+
 def q_content_probe(spark, sf_dir):
     """Content-type HEAD-probe gate: planted binary-looking URLs must be
     classified by the probe before any GET (allowed type → fetched;
@@ -1187,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_domain_discovery": q_cross_domain_discovery,
         "av_features": q_av_features,
         "retry_ladder": q_retry_ladder,
+        "cookie_markers": q_cookie_markers,
         "content_probe": q_content_probe,
         "robots_audit": q_robots_audit,
         "stratified_sample": q_stratified_sample,
@@ -1202,9 +1243,11 @@ def oracle_sql() -> dict[str, str]:
         ensure_export,
         ensure_order_export,
         ensure_content_probe_export,
+        ensure_cookie_export,
         ensure_recrawl_export,
         ensure_retry_export,
         content_probe_oracle_sql,
+        cookie_oracle_sql,
         order_oracle_sql,
         recrawl_oracle_sql,
         retry_oracle_sql,
@@ -1228,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
     ord_dir = ensure_order_export()
     disc_dir = ensure_discovery_export()
     retry_dir = ensure_retry_export()
+    ck_dir = ensure_cookie_export()
     ct_dir = ensure_content_probe_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
@@ -1255,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_visit_order": order_oracle_sql(ord_dir),
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),
         "retry_ladder": retry_oracle_sql(retry_dir),
+        "cookie_markers": cookie_oracle_sql(ck_dir),
         "content_probe": content_probe_oracle_sql(ct_dir),
         "stratified_sample": f"""
             SELECT lang, doc_id FROM documents

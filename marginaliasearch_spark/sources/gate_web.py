@@ -595,6 +595,111 @@ def retry_oracle_sql(export_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Cookie-marker gate fixture: planted Set-Cookie responses; every stored
+# record must carry the has_cookies marker (the Slop `cookies` byte column /
+# X-Has-Cookies — SlopCrawlDataRecord.java:45-54, DomainCookies.java,
+# WarcRecorder.java:114,140: the jar updates from the response BEFORE the
+# record is written, so the page that sets the first cookie is itself
+# marked).  Truth written from the jar's PUBLIC parse contract (first ';'
+# part, name=value split, tokens without '=' dropped), not by running
+# engine code.
+# ---------------------------------------------------------------------------
+
+# domain suffix → [(path, links, set_cookie)]; visit order is root first,
+# then root's links FIFO, so the expected marker per URL follows directly
+_COOKIE_WEBS = [
+    # never sets a cookie → all 0
+    ("plain", [("/", ["/p1.html", "/p2.html"], None),
+               ("/p1.html", [], None),
+               ("/p2.html", [], None)]),
+    # root sets it → every record marked, including root itself
+    ("root", [("/", ["/r1.html"], "sid=abc; Path=/; HttpOnly"),
+              ("/r1.html", [], None)]),
+    # set mid-crawl on the second link → 0,0,1,1
+    ("mid", [("/", ["/m1.html", "/m2.html", "/m3.html"], None),
+             ("/m1.html", [], None),
+             ("/m2.html", [], "theme=dark; Expires=never"),
+             ("/m3.html", [], None)]),
+    # Set-Cookie present but carries only a bare token without '=' —
+    # DomainCookies drops it, the jar stays empty → all 0
+    ("bare", [("/", ["/b1.html"], "optout; Path=/"),
+              ("/b1.html", [], None)]),
+    # empty VALUE is a real cookie (name=) → marked from root onward
+    ("empty", [("/", ["/e1.html"], "e=; Path=/"),
+               ("/e1.html", [], None)]),
+]
+
+
+def generate_cookie_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows) — expected_rows is
+    the planted (domain, url, has_cookies) truth."""
+    pages_rows, domains_rows, expected_rows = [], [], []
+    for suffix, web in _COOKIE_WEBS:
+        name = f"ck-{suffix}.example.org"
+        domains_rows.append(
+            {
+                "domain": name, "top_domain": "example.org", "proto": "https",
+                "probe": "ok", "robots_txt": None, "site_kind": "default",
+                "crawl_depth": 10_000, "seed_urls": [], "sitemap_urls": [],
+                "generator_meta": "", "has_lemmy_config": False,
+            }
+        )
+        jar: dict = {}
+        for path, links, set_cookie in web:
+            pages_rows.append(
+                {
+                    "domain": name, "path": path, "param": None,
+                    "url": f"https://{name}{path}", "status": 200,
+                    "redirect_to": None, "content_type": "text/html",
+                    "image_id": None, "base_href": None, "links": list(links),
+                    "feed_links": [], "body_marker": None, "etag": None,
+                    "last_modified": None, "body_text": None,
+                    "set_cookie": set_cookie,
+                }
+            )
+            # jar updates BEFORE the record is written (pages listed in
+            # visit order: root, then root's links FIFO)
+            if set_cookie:
+                first = set_cookie.split(";", 1)[0]
+                if "=" in first:
+                    k, v = first.split("=", 1)
+                    jar[k.strip()] = v.strip()
+            expected_rows.append(
+                {
+                    "domain": name,
+                    "url": f"https://{name}{path}",
+                    "has_cookies": 1 if jar else 0,
+                }
+            )
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_cookie_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_cookie_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("cookie", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_cookie_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_cookie.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def cookie_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_cookie.parquet")
+    return (
+        f"SELECT domain, url, CAST(has_cookies AS BIGINT) AS has_cookies"
+        f" FROM read_parquet('{p}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-type probe gate fixture: planted binary-looking URLs whose HEAD
 # probe must classify them (allowed / blocked type / error / redirect)
 # before any GET is spent — HttpFetcherImpl.probeContentType (:332-400)
