@@ -158,8 +158,13 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
+        # rows time in isolation: the LSH operators persist their
+        # signature subtrees (by design — they feed several DAG branches),
+        # and carrying those blocks into later rows skews their numbers
+        spark.catalog.clearCache()
 
     timings["compose_pathological"] = round(run_compose_pathological(spark, sf_dir), 3)
+    spark.catalog.clearCache()
 
     crawl_wall, visited, seen = run_crawl_bench(spark, n_domains, mean_pages)
     timings["crawl_e2e"] = round(crawl_wall, 3)
