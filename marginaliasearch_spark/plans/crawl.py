@@ -842,13 +842,6 @@ class SparkCrawlEngine:
                     new_frontier
                 )
             fpath = self.catalog.wave_path("frontier", wave)
-            new_frontier.repartition(self.n_buckets, "bucket").write.partitionBy(
-                "bucket"
-            ).mode("overwrite").parquet(fpath)
-            frontier_buckets = {}
-            for b in dirty:
-                bdir = os.path.join(fpath, f"bucket={b}")
-                frontier_buckets[b] = bdir if os.path.isdir(bdir) else None
 
             # domain_state: replace.  The carry side keeps terminal domains
             # AND permit-held members that skipped this wave (their rows
@@ -861,7 +854,34 @@ class SparkCrawlEngine:
             carried = domain_state.join(active.select("domain"), "domain", "left_anti")
             new_ds = new_ds.select(*carried.columns).unionByName(carried)
             dpath = self.catalog.wave_path("domain_state", wave)
-            new_ds.write.mode("overwrite").parquet(dpath)
+
+            # the frontier and domain_state replacements are independent
+            # once wave_out is on disk (both only read out_w + prior
+            # tables and write DISJOINT paths), so submit them from two
+            # threads: their per-job fixed costs (scheduling, shuffle
+            # setup) overlap instead of serializing — this is the
+            # dominant non-scaling cost of a wave at low core counts.
+            # Nothing is committed until BOTH finish (catalog.commit
+            # below), so a failure in either leaves the snapshot intact.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write_frontier():
+                new_frontier.repartition(
+                    self.n_buckets, "bucket"
+                ).write.partitionBy("bucket").mode("overwrite").parquet(fpath)
+
+            def _write_domain_state():
+                new_ds.write.mode("overwrite").parquet(dpath)
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = [ex.submit(_write_frontier), ex.submit(_write_domain_state)]
+                for f in futs:
+                    f.result()  # re-raises either failure before commit
+
+            frontier_buckets = {}
+            for b in dirty:
+                bdir = os.path.join(fpath, f"bucket={b}")
+                frontier_buckets[b] = bdir if os.path.isdir(bdir) else None
             table_paths["domain_state"] = dpath
 
             if group_key == "top_domain":
