@@ -1047,6 +1047,50 @@ def q_cookie_markers(spark, sf_dir):
     )
 
 
+def q_sitemap_scan(spark, sf_dir):
+    """Sitemap-scan gate: robots-declared sitemaps inject otherwise
+    ORPHAN pages into the frontier (urlset, nested sitemapindex, RSS
+    body, same-domain URL filtering, ignored cross-domain Sitemap:
+    directive, ≤10-fetch walk cap — HttpFetcherImpl.java:491-618;
+    functions/sitemap.py).  The engine crawls the fixture; each planted
+    orphan's visited flag is derived by joining the engine's visits
+    table; the oracle is the planted truth table."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_sitemap_export,
+        generate_sitemap_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+
+    ensure_sitemap_export()
+    pages_rows, domains_rows, expected_rows = generate_sitemap_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    out_dir = tempfile.mkdtemp(prefix="msx_sm_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    engine.run_waves(pages, wave_budget=None)
+    # candidates are the planted orphan set (an INPUT of the fixture);
+    # the visited flag is earned from the engine's visits table alone
+    cands = spark.createDataFrame(
+        [(r["domain"], r["url"]) for r in expected_rows], "domain string, url string"
+    )
+    vis = engine.read_table("visits").select("url").distinct().withColumn(
+        "_v", F.lit(1)
+    )
+    return cands.join(vis, "url", "left").select(
+        "domain",
+        "url",
+        F.coalesce(F.col("_v"), F.lit(0)).cast("long").alias("visited"),
+    )
+
+
 def q_content_probe(spark, sf_dir):
     """Content-type HEAD-probe gate: planted binary-looking URLs must be
     classified by the probe before any GET (allowed type → fetched;
@@ -1228,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_features": q_av_features,
         "retry_ladder": q_retry_ladder,
         "cookie_markers": q_cookie_markers,
+        "sitemap_scan": q_sitemap_scan,
         "content_probe": q_content_probe,
         "robots_audit": q_robots_audit,
         "stratified_sample": q_stratified_sample,
@@ -1246,8 +1291,10 @@ def oracle_sql() -> dict[str, str]:
         ensure_cookie_export,
         ensure_recrawl_export,
         ensure_retry_export,
+        ensure_sitemap_export,
         content_probe_oracle_sql,
         cookie_oracle_sql,
+        sitemap_oracle_sql,
         order_oracle_sql,
         recrawl_oracle_sql,
         retry_oracle_sql,
@@ -1272,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
     disc_dir = ensure_discovery_export()
     retry_dir = ensure_retry_export()
     ck_dir = ensure_cookie_export()
+    sm_dir = ensure_sitemap_export()
     ct_dir = ensure_content_probe_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
@@ -1300,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),
         "retry_ladder": retry_oracle_sql(retry_dir),
         "cookie_markers": cookie_oracle_sql(ck_dir),
+        "sitemap_scan": sitemap_oracle_sql(sm_dir),
         "content_probe": content_probe_oracle_sql(ct_dir),
         "stratified_sample": f"""
             SELECT lang, doc_id FROM documents

@@ -700,6 +700,167 @@ def cookie_oracle_sql(export_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Sitemap-scan gate fixture: robots-declared sitemaps inject otherwise
+# ORPHAN pages (no link reaches them) into the frontier — urlset,
+# nested sitemapindex, RSS-as-sitemap, same-domain filtering of listed
+# URLs, the ignored cross-domain Sitemap: directive, and the ≤10-fetch
+# walk cap (HttpFetcherImpl.java:491-618; CrawlerRetreiver.java:199-207;
+# functions/sitemap.py).  Truth written from the walker's PUBLIC
+# contract: an orphan is visited iff its sitemap path survives the caps
+# and filters.
+# ---------------------------------------------------------------------------
+
+
+def _sm_urlset(urls):
+    body = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+    return (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{body}</urlset>"
+    )
+
+
+def _sm_index(sitemaps):
+    body = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in sitemaps)
+    return (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{body}</sitemapindex>"
+    )
+
+
+def _sm_rss(urls):
+    items = "".join(f"<item><link>{u}</link></item>" for u in urls)
+    return f'<rss version="2.0"><channel>{items}</channel></rss>'
+
+
+def generate_sitemap_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows); expected_rows is
+    the planted (domain, url, visited) truth over the orphan pages."""
+    pages_rows, domains_rows, expected_rows = [], [], []
+
+    def add_domain(suffix, robots_lines):
+        name = f"sm-{suffix}.example.org"
+        domains_rows.append(
+            {
+                "domain": name, "top_domain": "example.org", "proto": "https",
+                "probe": "ok",
+                "robots_txt": "User-agent: *\nAllow: /\n" + "".join(
+                    f"{ln}\n" for ln in robots_lines
+                ),
+                "site_kind": "default", "crawl_depth": 10_000,
+                "seed_urls": [], "sitemap_urls": [],
+                "generator_meta": "", "has_lemmy_config": False,
+            }
+        )
+        return name
+
+    def page(name, path, *, links=(), body_marker=None,
+             content_type="text/html"):
+        pages_rows.append(
+            {
+                "domain": name, "path": path, "param": None,
+                "url": f"https://{name}{path}", "status": 200,
+                "redirect_to": None, "content_type": content_type,
+                "image_id": None, "base_href": None, "links": list(links),
+                "feed_links": [], "body_marker": body_marker, "etag": None,
+                "last_modified": None, "body_text": None,
+            }
+        )
+
+    def orphan(name, path, visited):
+        page(name, path)
+        expected_rows.append(
+            {"domain": name, "url": f"https://{name}{path}",
+             "visited": 1 if visited else 0}
+        )
+
+    # plain urlset: 3 orphans in, 1 uncited page out
+    d = add_domain("urlset", ["Sitemap: https://sm-urlset.example.org/sitemap.xml"])
+    page(d, "/")
+    page(d, "/sitemap.xml", content_type="application/xml",
+         body_marker=_sm_urlset([f"https://{d}/s{i}.html" for i in range(3)]))
+    for i in range(3):
+        orphan(d, f"/s{i}.html", True)
+    orphan(d, "/uncited.html", False)
+
+    # nested sitemapindex → two urlset subs
+    d = add_domain("index", ["Sitemap: https://sm-index.example.org/sitemap.xml"])
+    page(d, "/")
+    page(d, "/sitemap.xml", content_type="application/xml",
+         body_marker=_sm_index([f"https://{d}/sitemap-a.xml",
+                                f"https://{d}/sitemap-b.xml"]))
+    page(d, "/sitemap-a.xml", content_type="application/xml",
+         body_marker=_sm_urlset([f"https://{d}/a0.html", f"https://{d}/a1.html"]))
+    page(d, "/sitemap-b.xml", content_type="application/xml",
+         body_marker=_sm_urlset([f"https://{d}/b0.html"]))
+    for p in ("/a0.html", "/a1.html", "/b0.html"):
+        orphan(d, p, True)
+
+    # listed cross-domain URL is filtered; same-domain one admitted
+    d = add_domain("crossurl", ["Sitemap: https://sm-crossurl.example.org/sitemap.xml"])
+    page(d, "/")
+    page(d, "/sitemap.xml", content_type="application/xml",
+         body_marker=_sm_urlset(["https://evil.example.org/x.html",
+                                 f"https://{d}/s0.html"]))
+    orphan(d, "/s0.html", True)
+    orphan(d, "/unlisted.html", False)
+
+    # cross-domain Sitemap: directive ignored entirely; own one walked
+    d = add_domain("evildir", ["Sitemap: https://evil.example.org/sitemap.xml",
+                               "Sitemap: https://sm-evildir.example.org/sitemap.xml"])
+    page(d, "/")
+    page(d, "/sitemap.xml", content_type="application/xml",
+         body_marker=_sm_urlset([f"https://{d}/s0.html"]))
+    orphan(d, "/s0.html", True)
+    orphan(d, "/hidden.html", False)
+
+    # RSS body behind the sitemap URL (feed-as-sitemap arm)
+    d = add_domain("rss", ["Sitemap: https://sm-rss.example.org/sitemap.xml"])
+    page(d, "/")
+    page(d, "/sitemap.xml", content_type="application/xml",
+         body_marker=_sm_rss([f"https://{d}/r0.html", f"https://{d}/r1.html"]))
+    for p in ("/r0.html", "/r1.html"):
+        orphan(d, p, True)
+
+    # fetch cap: index + 12 subs, walk budget 10 fetches → index consumes
+    # one, subs 0..8 fetched, subs 9..11 never walked
+    d = add_domain("fetchcap", ["Sitemap: https://sm-fetchcap.example.org/sitemap.xml"])
+    page(d, "/")
+    page(d, "/sitemap.xml", content_type="application/xml",
+         body_marker=_sm_index([f"https://{d}/sub{i}.xml" for i in range(12)]))
+    for i in range(12):
+        page(d, f"/sub{i}.xml", content_type="application/xml",
+             body_marker=_sm_urlset([f"https://{d}/c{i}.html"]))
+        orphan(d, f"/c{i}.html", i < 9)
+
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_sitemap_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_sitemap_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("sitemap", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_sitemap_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_sitemap.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def sitemap_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_sitemap.parquet")
+    return (
+        f"SELECT domain, url, CAST(visited AS BIGINT) AS visited"
+        f" FROM read_parquet('{p}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-type probe gate fixture: planted binary-looking URLs whose HEAD
 # probe must classify them (allowed / blocked type / error / redirect)
 # before any GET is spent — HttpFetcherImpl.probeContentType (:332-400)
