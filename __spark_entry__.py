@@ -1091,6 +1091,55 @@ def q_sitemap_scan(spark, sf_dir):
     )
 
 
+def q_xrobots_store(spark, sf_dir):
+    """Output-stage storage gate: X-Robots-Tag algebra (UA-scoped all >
+    UA-scoped noindex/none > general noindex/none) + the content-type
+    whitelist with octet-stream .md/.pdf rescues decide what is STORED
+    at rest, while every candidate still counts as VISITED — the gate
+    never touches the frontier (SlopCrawlDataRecord.java:165-259;
+    functions/xrobots.py).  Flags are earned from the engine's visits
+    and crawl_data tables; oracle = planted truth from the published
+    algebra."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_xrobots_export,
+        generate_xrobots_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+
+    ensure_xrobots_export()
+    pages_rows, domains_rows, expected_rows = generate_xrobots_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    out_dir = tempfile.mkdtemp(prefix="msx_xr_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    engine.run_waves(pages, wave_budget=None)
+    cands = spark.createDataFrame(
+        [(r["domain"], r["url"]) for r in expected_rows], "domain string, url string"
+    )
+    vis = engine.read_table("visits").select("url").distinct().withColumn("_v", F.lit(1))
+    stored = (
+        engine.read_table("crawl_data").select("url").distinct().withColumn("_s", F.lit(1))
+    )
+    return (
+        cands.join(vis, "url", "left")
+        .join(stored, "url", "left")
+        .select(
+            "domain",
+            "url",
+            F.coalesce(F.col("_v"), F.lit(0)).cast("long").alias("visited"),
+            F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("stored"),
+        )
+    )
+
+
 def q_content_probe(spark, sf_dir):
     """Content-type HEAD-probe gate: planted binary-looking URLs must be
     classified by the probe before any GET (allowed type → fetched;
@@ -1273,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_ladder": q_retry_ladder,
         "cookie_markers": q_cookie_markers,
         "sitemap_scan": q_sitemap_scan,
+        "xrobots_store": q_xrobots_store,
         "content_probe": q_content_probe,
         "robots_audit": q_robots_audit,
         "stratified_sample": q_stratified_sample,
@@ -1292,9 +1342,11 @@ def oracle_sql() -> dict[str, str]:
         ensure_recrawl_export,
         ensure_retry_export,
         ensure_sitemap_export,
+        ensure_xrobots_export,
         content_probe_oracle_sql,
         cookie_oracle_sql,
         sitemap_oracle_sql,
+        xrobots_oracle_sql,
         order_oracle_sql,
         recrawl_oracle_sql,
         retry_oracle_sql,
@@ -1320,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
     retry_dir = ensure_retry_export()
     ck_dir = ensure_cookie_export()
     sm_dir = ensure_sitemap_export()
+    xr_dir = ensure_xrobots_export()
     ct_dir = ensure_content_probe_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
@@ -1349,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "retry_ladder": retry_oracle_sql(retry_dir),
         "cookie_markers": cookie_oracle_sql(ck_dir),
         "sitemap_scan": sitemap_oracle_sql(sm_dir),
+        "xrobots_store": xrobots_oracle_sql(xr_dir),
         "content_probe": content_probe_oracle_sql(ct_dir),
         "stratified_sample": f"""
             SELECT lang, doc_id FROM documents

@@ -485,7 +485,8 @@ class DomainCrawlSession:
         # as visited — the gate is at-rest only.
         from ..functions.xrobots import should_store_response
 
-        if not should_store_response(url.path, page.content_type, [], USER_AGENT):
+        tags = page.x_robots.split("||") if page.x_robots else []
+        if not should_store_response(url.path, page.content_type, tags, USER_AGENT):
             return
         rec = {
             "domain": self.info.domain,

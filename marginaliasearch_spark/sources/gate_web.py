@@ -861,6 +861,114 @@ def sitemap_oracle_sql(export_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Output-stage storage gate fixture: X-Robots-Tag algebra + content-type
+# whitelist decide what is STORED at rest, while every page still counts
+# as VISITED (SlopCrawlDataRecord.java:165-259 — the gate is at-rest
+# only, it never touches the frontier or ordering).  Truth written from
+# the published algebra: UA-scoped `all` permits unconditionally,
+# UA-scoped `noindex`/`none` forbids, otherwise a general
+# `noindex`/`none` forbids; content types outside the whitelist are
+# dropped (with the octet-stream .md/.pdf rescues).
+# ---------------------------------------------------------------------------
+
+_UA = "search.marginalia.nu"
+
+# (path, content_type, x_robots header(s) "||"-joined, stored?).  Paths
+# are chosen to stay OUT of the content-probe's jurisdiction (its gate
+# covers that): .html/.md/.pdf are ContentTypeLogic probable-good (no
+# HEAD probe), and the non-html types ride suffix-less paths (not
+# binary-looking → no probe either).  .md/.pdf candidates enter as
+# SEEDS because the link parser (correctly) drops such hrefs.
+_XR_CASES = [
+    ("/plain.html", "text/html", None, 1),
+    ("/noindex.html", "text/html", "noindex", 0),
+    ("/none.html", "text/html", "none", 0),
+    ("/other-ua.html", "text/html", "otherbot: noindex", 1),   # scoped to another UA → ignored
+    ("/ua-noindex.html", "text/html", f"{_UA}: noindex", 0),   # scoped to us → forbids
+    ("/ua-all-wins.html", "text/html", f"{_UA}: all||noindex", 1),  # UA-all overrides general noindex
+    ("/ua-none.html", "text/html", f"{_UA}: none", 0),
+    ("/follow.html", "text/html", "nofollow", 1),              # nofollow alone doesn't forbid storage
+    ("/styles", "text/css", None, 0),                          # whitelist: css dropped at rest
+    ("/blob", "application/octet-stream", None, 0),            # octet-stream, no rescue
+    ("/doc.md", "application/octet-stream", None, 1),          # octet-stream .md rescue
+    ("/paper.pdf", "application/octet-stream", None, 1),       # octet-stream .pdf rescue
+    ("/photo", "image/png", None, 1),                          # image-graft payload type
+]
+
+
+def generate_xrobots_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows); expected is the
+    planted (domain, url, visited, stored) truth."""
+    name = "xr0.example.org"
+    domains_rows = [
+        {
+            "domain": name, "top_domain": "example.org", "proto": "https",
+            "probe": "ok", "robots_txt": None, "site_kind": "default",
+            "crawl_depth": 10_000, "seed_urls": [], "sitemap_urls": [],
+            "generator_meta": "", "has_lemmy_config": False,
+        }
+    ]
+    pages_rows, expected_rows = [], []
+
+    def page(path, content_type="text/html", links=(), x_robots=None):
+        pages_rows.append(
+            {
+                "domain": name, "path": path, "param": None,
+                "url": f"https://{name}{path}", "status": 200,
+                "redirect_to": None, "content_type": content_type,
+                "image_id": None, "base_href": None, "links": list(links),
+                "feed_links": [], "body_marker": None, "etag": None,
+                "last_modified": None, "body_text": None,
+                "x_robots": x_robots,
+            }
+        )
+
+    # .md/.pdf candidates enter as SEED urls: the link parser (correctly)
+    # refuses binary-suffix hrefs, but seeds go straight to the frontier
+    link_paths = [c[0] for c in _XR_CASES if "." not in c[0] or c[0].endswith(".html")]
+    seed_paths = [c[0] for c in _XR_CASES if c[0].endswith((".md", ".pdf"))]
+    domains_rows[0]["seed_urls"] = [f"https://{name}{p}" for p in seed_paths]
+    page("/", links=link_paths)
+    for path, ct, xr, stored in _XR_CASES:
+        page(path, content_type=ct, x_robots=xr)
+        expected_rows.append(
+            {
+                "domain": name,
+                "url": f"https://{name}{path}",
+                "visited": 1,  # the gate is at-rest only — always visited
+                "stored": stored,
+            }
+        )
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_xrobots_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_xrobots_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("xrobots", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_xrobots_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_xrobots.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def xrobots_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_xrobots.parquet")
+    return (
+        f"SELECT domain, url, CAST(visited AS BIGINT) AS visited,"
+        f" CAST(stored AS BIGINT) AS stored"
+        f" FROM read_parquet('{p}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-type probe gate fixture: planted binary-looking URLs whose HEAD
 # probe must classify them (allowed / blocked type / error / redirect)
 # before any GET is spent — HttpFetcherImpl.probeContentType (:332-400)

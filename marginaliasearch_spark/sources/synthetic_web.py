@@ -72,6 +72,9 @@ class Page:
     # per-domain cookie jar (DomainCookies.java) whose non-emptiness is
     # the has_cookies marker on every subsequent stored record
     set_cookie: Optional[str] = None
+    # X-Robots-Tag response header(s); multiple headers joined with "||"
+    # (SlopCrawlDataRecord.java:165-259 output-stage algebra)
+    x_robots: Optional[str] = None
 
 
 @dataclass
@@ -656,6 +659,7 @@ def web_to_frames(web: SyntheticWeb):
                 "head_status": p.head_status,
                 "icon_href": p.icon_href,
                 "set_cookie": p.set_cookie,
+                "x_robots": p.x_robots,
             }
         )
     drows = []
@@ -685,6 +689,7 @@ _PAGE_DEFAULTS = {
     "head_status": 0,
     "icon_href": None,
     "set_cookie": None,
+    "x_robots": None,
 }
 
 
@@ -693,7 +698,7 @@ _PAGE_COLUMNS = [
     "content_type", "image_id", "base_href", "links", "feed_links",
     "body_marker", "etag", "last_modified", "body_text",
     "transient_status", "transient_count", "retry_after", "head_status",
-    "icon_href", "set_cookie",
+    "icon_href", "set_cookie", "x_robots",
 ]
 
 
@@ -735,6 +740,7 @@ def spark_schemas():
             T.StructField("head_status", T.IntegerType()),
             T.StructField("icon_href", T.StringType()),
             T.StructField("set_cookie", T.StringType()),
+            T.StructField("x_robots", T.StringType()),
         ]
     )
     domains = T.StructType(
@@ -795,6 +801,7 @@ class DomainPagesWeb:
                 head_status=int(_nn(rec.get("head_status")) or 0),
                 icon_href=_nn(rec.get("icon_href")),
                 set_cookie=_nn(rec.get("set_cookie")),
+                x_robots=_nn(rec.get("x_robots")),
             )
             self._pages[(page.domain, page.path, page.param)] = page
 
