@@ -1140,6 +1140,40 @@ def q_xrobots_store(spark, sf_dir):
     )
 
 
+def q_domain_meta_discovery(spark, sf_dir):
+    """Feed + favicon discovery gate: link rel=alternate feeds (same-
+    domain only), the likely-endpoint guessing ladder with its
+    '<rss'/'<atom' body sniff, robots gating of BOTH ladders, the
+    <link rel=icon> same-domain override and the /favicon.ico default
+    with 200-only persist (CrawlerRetreiver.java:333-339,404-441;
+    DomainStateDb.saveIcon).  Values read from the engine's crawl_meta
+    domain summary; oracle = the planted truth table."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_domain_meta_export,
+        generate_domain_meta_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+
+    ensure_domain_meta_export()
+    pages_rows, domains_rows, _ = generate_domain_meta_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    out_dir = tempfile.mkdtemp(prefix="msx_dm_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+    engine.run_waves(pages, wave_budget=None)
+    return engine.crawl_meta().select(
+        "domain", "feed_url", "favicon_url", "favicon_content_type"
+    )
+
+
 def q_content_probe(spark, sf_dir):
     """Content-type HEAD-probe gate: planted binary-looking URLs must be
     classified by the probe before any GET (allowed type → fetched;
@@ -1323,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cookie_markers": q_cookie_markers,
         "sitemap_scan": q_sitemap_scan,
         "xrobots_store": q_xrobots_store,
+        "domain_meta_discovery": q_domain_meta_discovery,
         "content_probe": q_content_probe,
         "robots_audit": q_robots_audit,
         "stratified_sample": q_stratified_sample,
@@ -1343,7 +1378,9 @@ def oracle_sql() -> dict[str, str]:
         ensure_retry_export,
         ensure_sitemap_export,
         ensure_xrobots_export,
+        ensure_domain_meta_export,
         content_probe_oracle_sql,
+        domain_meta_oracle_sql,
         cookie_oracle_sql,
         sitemap_oracle_sql,
         xrobots_oracle_sql,
@@ -1373,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
     ck_dir = ensure_cookie_export()
     sm_dir = ensure_sitemap_export()
     xr_dir = ensure_xrobots_export()
+    dm_dir = ensure_domain_meta_export()
     ct_dir = ensure_content_probe_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
@@ -1403,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         "cookie_markers": cookie_oracle_sql(ck_dir),
         "sitemap_scan": sitemap_oracle_sql(sm_dir),
         "xrobots_store": xrobots_oracle_sql(xr_dir),
+        "domain_meta_discovery": domain_meta_oracle_sql(dm_dir),
         "content_probe": content_probe_oracle_sql(ct_dir),
         "stratified_sample": f"""
             SELECT lang, doc_id FROM documents

@@ -969,6 +969,125 @@ def xrobots_oracle_sql(export_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Domain-meta discovery gate fixture: RSS/Atom feed discovery (link
+# rel=alternate hrefs first — same-domain only — then the reference's
+# likely-endpoint guessing ladder with its '<rss'/'<atom' body sniff and
+# robots gate; CrawlerRetreiver.java:404-441) and favicon resolution
+# (<link rel=icon> override when same-domain, /favicon.ico default,
+# robots-gated, 200-only persist; CrawlerRetreiver.java:333-339,
+# DomainStateDb.saveIcon).  Truth written from those published ladders.
+# ---------------------------------------------------------------------------
+
+
+def generate_domain_meta_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows); expected is the
+    planted (domain, feed_url, favicon_url, favicon_content_type) truth."""
+    pages_rows, domains_rows, expected_rows = [], [], []
+
+    def add_domain(suffix, robots_txt=None):
+        name = f"fd-{suffix}.example.org"
+        domains_rows.append(
+            {
+                "domain": name, "top_domain": "example.org", "proto": "https",
+                "probe": "ok", "robots_txt": robots_txt, "site_kind": "default",
+                "crawl_depth": 10_000, "seed_urls": [], "sitemap_urls": [],
+                "generator_meta": "", "has_lemmy_config": False,
+            }
+        )
+        return name
+
+    def page(name, path, *, content_type="text/html", links=(),
+             feed_links=(), body_marker=None, icon_href=None):
+        pages_rows.append(
+            {
+                "domain": name, "path": path, "param": None,
+                "url": f"https://{name}{path}", "status": 200,
+                "redirect_to": None, "content_type": content_type,
+                "image_id": None, "base_href": None, "links": list(links),
+                "feed_links": list(feed_links), "body_marker": body_marker,
+                "etag": None, "last_modified": None, "body_text": None,
+                "icon_href": icon_href,
+            }
+        )
+
+    def expect(name, feed, fav, fav_ct):
+        expected_rows.append(
+            {"domain": name, "feed_url": feed, "favicon_url": fav,
+             "favicon_content_type": fav_ct}
+        )
+
+    RSS = '<rss version="2.0">'
+
+    # link rel=alternate feed wins outright; no favicon page → no record
+    d = add_domain("rel")
+    page(d, "/", feed_links=["/custom/feed.xml"])
+    expect(d, f"https://{d}/custom/feed.xml", None, None)
+
+    # cross-domain rel href rejected; guesses all 404 → no feed;
+    # default /favicon.ico exists → recorded
+    d = add_domain("relcross")
+    page(d, "/", feed_links=["https://evil.example.org/feed"])
+    page(d, "/favicon.ico", content_type="image/x-icon")
+    expect(d, None, f"https://{d}/favicon.ico", "image/x-icon")
+
+    # endpoint guessing: rss.xml/atom.xml 404, feed.xml serves RSS →
+    # third guess wins; icon_href overrides the favicon default
+    d = add_domain("guess")
+    page(d, "/", icon_href="/icons/fav.png")
+    page(d, "/feed.xml", content_type="application/rss+xml", body_marker=RSS)
+    page(d, "/icons/fav.png", content_type="image/png")
+    expect(d, f"https://{d}/feed.xml", f"https://{d}/icons/fav.png", "image/png")
+
+    # robots gates BOTH ladders: /rss.xml disallowed (guess skips it even
+    # though it serves a valid feed; /atom.xml wins) and /favicon.ico
+    # disallowed → no favicon record despite the page existing
+    d = add_domain("robots")
+    page(d, "/")
+    page(d, "/rss.xml", content_type="application/rss+xml", body_marker=RSS)
+    page(d, "/atom.xml", content_type="application/rss+xml", body_marker=RSS)
+    page(d, "/favicon.ico", content_type="image/x-icon")
+    expect(d, f"https://{d}/atom.xml", None, None)
+    domains_rows[-1]["robots_txt"] = (
+        "User-agent: *\nDisallow: /rss.xml\nDisallow: /favicon.ico\n"
+    )
+
+    # wrong body sniff: /rss.xml answers 200 but is not a feed → no feed;
+    # cross-domain icon_href falls back to the /favicon.ico default
+    d = add_domain("marker")
+    page(d, "/", icon_href="https://cdn.evil.example.org/f.ico")
+    page(d, "/rss.xml", body_marker="<html>")
+    page(d, "/favicon.ico", content_type="image/x-icon")
+    expect(d, None, f"https://{d}/favicon.ico", "image/x-icon")
+
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_domain_meta_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_domain_meta_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("domainmeta", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_dmeta_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_domainmeta.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def domain_meta_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_domainmeta.parquet")
+    return (
+        f"SELECT domain, feed_url, favicon_url, favicon_content_type"
+        f" FROM read_parquet('{p}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-type probe gate fixture: planted binary-looking URLs whose HEAD
 # probe must classify them (allowed / blocked type / error / redirect)
 # before any GET is spent — HttpFetcherImpl.probeContentType (:332-400)
