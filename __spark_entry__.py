@@ -306,6 +306,28 @@ def q_blocklist_filter(spark, sf_dir):
     )
 
 
+def q_mailing_list_filter(spark, sf_dir):
+    """Opt-in mailing-list link filter as a pure Column predicate
+    (CrawlerRetreiver's blockMailingLists path arms: /lists/ prefix,
+    mailinglist / mail-archive / mailman substrings) over synthesized
+    paths; the oracle re-derives the verdicts in SQL."""
+    from marginaliasearch_spark.operators.blocklist import mailing_list_col
+
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("/lists/dev/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("/x/mailinglist/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("/mail-archive/msg"), F.col("doc_id")))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("/cgi/mailman/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("/late/lists/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/pages/p"), F.col("doc_id"), F.lit(".html")))
+    )
+    d = docs.select("doc_id", path.alias("path"))
+    return d.withColumn("blocked", mailing_list_col(F.col("path"))).select(
+        "doc_id", "path", F.col("blocked").cast("int").alias("blocked")
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 — the OLAP bench anchor (decimal-typed for exact compare)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1325,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_hash64": q_url_hash64,
         "html_link_extract": q_html_link_extract,
         "blocklist_filter": q_blocklist_filter,
+        "mailing_list_filter": q_mailing_list_filter,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_topn": q_revenue_topn,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -1479,6 +1502,23 @@ def oracle_sql() -> dict[str, str]:
                    END AS allowed
             FROM (SELECT doc_id, doc_id % 4 AS v, doc_id % 3 AS k
                   FROM documents) t
+        """,
+        "mailing_list_filter": """
+            SELECT doc_id, path,
+                   CASE WHEN path LIKE '/lists/%' THEN 1
+                        WHEN path LIKE '%mailinglist%' THEN 1
+                        WHEN path LIKE '%mail-archive%' THEN 1
+                        WHEN path LIKE '%mailman%' THEN 1
+                        ELSE 0 END AS blocked
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 6 = 0 THEN '/lists/dev/' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 6 = 1 THEN '/x/mailinglist/' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 6 = 2 THEN '/mail-archive/msg' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 6 = 3 THEN '/cgi/mailman/' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 6 = 4 THEN '/late/lists/' || CAST(doc_id AS VARCHAR)
+                            ELSE '/pages/p' || CAST(doc_id AS VARCHAR) || '.html' END AS path
+                FROM documents) t
         """,
         "av_features": """
             SELECT printf('clip-%08d', i) AS clip_id,
