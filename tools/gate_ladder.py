@@ -243,6 +243,10 @@ def run(names=None, sf_dir: str = LADDER_DIR, out_json: str | None = None):
         .getOrCreate()
     )
     quad_dir = os.path.join(sf_dir, "quad")
+    if not os.path.isdir(quad_dir):
+        # no slice built for this corpus (e.g. driving the driver-scale
+        # sf0.01 tables directly) — quad gates run on the main dir
+        quad_dir = sf_dir
 
     def _connect(docs_dir: str) -> "duckdb.DuckDBPyConnection":
         c = duckdb.connect()
