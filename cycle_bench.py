@@ -122,6 +122,8 @@ def main() -> None:
             canonicalize(F.col("url"))["url_hash"].alias("url_hash"), "url"
         )
         new_seen = fd.ingest(visited).count()
+        if atags is not None:
+            atags.unpersist()  # steady state must not accumulate cache blocks
         atags = next_cycle_atags(ec.read_table("edges"), fd).cache()
         n_admitted = atags.count()
         seen_total = fd.seen().count()
@@ -135,11 +137,19 @@ def main() -> None:
                 "admitted_discoveries": n_admitted,
                 "seen_total": seen_total,
                 "urls_per_sec": round(n_vis / wall, 1),
+                "load1": round(os.getloadavg()[0], 2),
+                "seen_paths": len(fd._load()["seen_paths"]),
             }
         )
     assert disc_cycles[0]["seen_total"] <= disc_cycles[1]["seen_total"] <= disc_cycles[2]["seen_total"]
     assert disc_cycles[1]["new_seen_keys"] == 0, "re-admission of cycle-1 URLs"
     assert disc_cycles[2]["admitted_discoveries"] == 0, "discovery loop failed to converge"
+    # steady-state flatness: idle cycles append no seen paths (the empty
+    # ingest short-circuit) so per-cycle cost stays bounded on a static web
+    assert disc_cycles[1]["seen_paths"] == disc_cycles[2]["seen_paths"], (
+        "idle cycles grew the seen-set table"
+    )
+    cyc_ratio = disc_cycles[2]["wall_sec"] / max(disc_cycles[0]["wall_sec"], 1e-9)
 
     result = {
         "metric": "two-cycle crawl: discovery then conditional-fetch recrawl (URLs visited/s)",
@@ -157,6 +167,7 @@ def main() -> None:
         "retained": int(meta["retained"] or 0),
         "skipped": int(meta["skipped"] or 0),
         "discovery_cycles": disc_cycles,
+        "cycle2_over_cycle0": round(cyc_ratio, 3),
     }
     print(json.dumps(result))
 
@@ -172,16 +183,19 @@ def main() -> None:
         "stored validators retains most documents via 304/header/LSH — the "
         "production steady state where bandwidth is spent only on change.\n\n"
         "### Discovery cycles (crawl → harvest → Bloom admission ×3)\n\n"
-        "| cycle | wall s | visited | new seen keys | admitted discoveries | seen total |\n"
-        "|---|---|---|---|---|---|\n"
+        "| cycle | wall s | visited | new seen keys | admitted discoveries | seen total | seen paths | load1 |\n"
+        "|---|---|---|---|---|---|---|---|\n"
         + "".join(
             f"| {d['cycle']} | {d['wall_sec']} | {d['visited']:,} | "
             f"{d['new_seen_keys']:,} | {d['admitted_discoveries']:,} | "
-            f"{d['seen_total']:,} |\n"
+            f"{d['seen_total']:,} | {d['seen_paths']} | {d['load1']} |\n"
             for d in disc_cycles
         )
         + "\nInvariants asserted in-bench: monotone seen growth, zero\n"
-        "re-admissions after cycle 1, loop converges (cycle 3 admits 0).\n"
+        "re-admissions after cycle 1, loop converges (cycle 3 admits 0),\n"
+        "idle cycles append zero seen paths (empty-ingest short-circuit).\n"
+        f"Steady-state flatness: cycle 2 wall = {cyc_ratio:.2f}x cycle 0\n"
+        "(target <= 1.15 on a quiet host; per-cycle load1 recorded above).\n"
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
         f.write(md)

@@ -73,32 +73,57 @@ def walk_sitemaps(
     fetch: Callable[[str], Optional[str]],
     max_fetches: int = MAX_SITEMAP_FETCHES,
     max_urls: int = MAX_SITEMAP_URLS,
+    same_domain: Optional[Callable[[str], bool]] = None,
 ) -> list[str]:
-    """Recursive sitemap walk with caps + cycle protection.
+    """Recursive sitemap walk, faithful to the reference's traversal
+    (HttpFetcherImpl.java:489-542):
+
+    - ``++fetchedSitemaps < 10`` is a pre-increment check — at most
+      ``max_fetches - 1`` (9) sitemaps are ever fetched;
+    - nested ``sitemapindex`` refs are deduped at ENQUEUE time and pushed
+      with ``addFirst`` — each ref list is processed LIFO, i.e. in
+      reverse listing order, before anything already queued;
+    - the root is never marked seen (a nested ref back to it re-enqueues);
+    - seen-URL dedup happens on the raw string BEFORE the same-domain
+      filter (an off-domain duplicate still poisons the seen-set);
+    - the ``max_urls`` cap is only checked between fetches — a single
+      urlset can overshoot it, exactly like the reference's
+      ``ret.size() < 20_000`` loop-top check.
 
     ``fetch(url) → xml text or None`` is supplied by the caller (the
-    synthetic web in tests, HTTP in production).
+    synthetic web in tests, HTTP in production); a ``None`` (fetch error)
+    still consumes fetch budget, as the reference's SitemapError does.
+    ``same_domain`` filters both page URLs and nested sitemap refs
+    (ref: ``u.domain.equals(rootSitemapUrl.domain)``); off-domain refs
+    are never enqueued so they consume no budget.
     """
     seen_sitemaps: set[str] = set()
     seen_urls: set[str] = set()
     out: list[str] = []
-    queue = [start_url]
+    queue: list[str] = [start_url]
     fetches = 0
-    while queue and fetches < max_fetches and len(out) < max_urls:
-        sm = queue.pop(0)
-        if sm in seen_sitemaps:
-            continue
-        seen_sitemaps.add(sm)
-        content = fetch(sm)
+    while queue and len(out) < max_urls:
         fetches += 1
+        if fetches >= max_fetches:
+            break
+        sm = queue.pop(0)
+        content = fetch(sm)
         if content is None:
             continue
         kind, urls = parse_sitemap_xml(content)
         if kind == "sitemapindex":
-            queue.extend(u for u in urls if u not in seen_sitemaps)
+            new_refs = []
+            for ref in urls:
+                if ref not in seen_sitemaps:
+                    seen_sitemaps.add(ref)
+                    if same_domain is None or same_domain(ref):
+                        new_refs.append(ref)
+            # sequential addFirst ⇒ the last-listed ref is dequeued first
+            queue[:0] = reversed(new_refs)
         elif kind in ("urlset", "rss", "atom"):
             for u in urls:
-                if u not in seen_urls and len(out) < max_urls:
+                if u not in seen_urls:
                     seen_urls.add(u)
-                    out.append(u)
+                    if same_domain is None or same_domain(u):
+                        out.append(u)
     return out

@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
+# persisted signature subtrees awaiting release (minhash_lsh_pairs and
+# simhash_pairs persist their signature DataFrames because several join
+# branches consume them; same contract as operators/bloom.py — callers
+# that materialize the result release them via unpersist_transients(),
+# so a long-lived driver doesn't accumulate MEMORY_AND_DISK blocks)
+_TRANSIENT: list = []
+
+
+def unpersist_transients() -> None:
+    """Release persisted signature subtrees from prior minhash_lsh_pairs /
+    simhash_pairs calls.  Call once the pairs result is materialized
+    (written, collected, or folded into a committed table)."""
+    while _TRANSIENT:
+        df = _TRANSIENT.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -165,6 +185,7 @@ def minhash_lsh_pairs(
         .select(id_col, "minhash")
         .persist()
     )
+    _TRANSIENT.append(sig)  # released by unpersist_transients()
 
     band_cols = [
         F.xxhash64(
@@ -269,6 +290,7 @@ def simhash_pairs(
     # the signature subtree feeds all 8 branches of the 4 chunk self-joins;
     # persist so the pandas UDF kernel runs once, not 8x
     t = sigs.select(id_col, "simhash", *chunks).persist()
+    _TRANSIENT.append(t)  # released by unpersist_transients()
 
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     parts = []

@@ -606,28 +606,41 @@ class DomainCrawlSession:
 
     def _enqueue_sitemaps(self, probed: EdgeUrl) -> None:
         """Walk robots-declared sitemaps (same-domain only) through the
-        urlset/sitemapindex/rss/atom parser with the reference's caps
-        (HttpFetcherImpl.java:491-618; CrawlerRetreiver.java:199-207)."""
+        urlset/sitemapindex/rss/atom parser with the reference's caps and
+        traversal order — 9-fetch pre-increment budget, addFirst/LIFO for
+        nested index refs, enqueue-time dedup, same-domain filter on refs
+        AND page URLs (HttpFetcherImpl.java:489-542;
+        CrawlerRetreiver.java:199-207)."""
         from ..functions.sitemap import walk_sitemaps
 
         info = self.info
 
+        def on_domain(u: str) -> bool:
+            pu = parse_url(u)
+            return pu is not None and pu.domain == self.edge_domain
+
         def fetch_xml(u: str):
             pu = parse_url(u)
-            if pu is None or pu.domain != self.edge_domain:
+            if pu is None:
                 return None
             page = self.web.page_at(pu.with_proto(info.proto))
+            # the reference GETs every queued sitemap and waits the fetch
+            # delay whether or not it parses — an error still costs budget
+            # and politeness time (fetchSingleSitemap + waitFetchDelay)
+            self.timer.sleep(fetch_time_ms(str(pu)))
             if page is None:
+                self._log(str(pu), "FETCH_SITEMAP", 404)
                 return None
             self._log(str(pu), "FETCH_SITEMAP", page.status)
-            self.timer.sleep(fetch_time_ms(str(pu)))
             return page.body_marker
 
         for sm in self.rules.sitemaps:
             sm_url = parse_url(sm)
             if sm_url is not None and sm_url.domain == self.edge_domain:
                 urls = []
-                for u in walk_sitemaps(str(sm_url.with_proto(info.proto)), fetch_xml):
+                for u in walk_sitemaps(
+                    str(sm_url.with_proto(info.proto)), fetch_xml, same_domain=on_domain
+                ):
                     pu = parse_url(u)
                     if pu is not None:
                         urls.append(pu)

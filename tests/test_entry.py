@@ -6,6 +6,8 @@ rows-run check."""
 import datetime
 import decimal
 import math
+import os
+import sys
 
 import duckdb
 import pytest
@@ -50,6 +52,29 @@ ALL_QUERIES = sorted(entry_mod.queries().keys())
 
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(ALL_QUERIES)
+
+
+def test_gate_list_is_complete_and_fully_oracled():
+    """Self-verifying gate inventory (VERDICT r4 item 3): every queries()
+    entry must have a DuckDB oracle — a new operator landing without one
+    fails here, and a driver CORRECTNESS snapshot with fewer rows than
+    this count is a snapshot artifact, not a coverage gap."""
+    assert set(ORACLES) == set(ALL_QUERIES), (
+        f"queries without an oracle_sql entry: {sorted(set(ALL_QUERIES) - set(ORACLES))}"
+    )
+    assert len(ALL_QUERIES) >= 52  # round-4 inventory; additions only
+
+
+def test_gate_ladder_covers_every_query():
+    """The sf1.0 ladder runs sorted(queries()) when no names are passed —
+    pin that its default picks equal the full gate list."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gate_ladder
+
+    assert sorted(entry_mod.queries()) == ALL_QUERIES
+    # QUAD_GATES must name real gates (a rename would silently move a
+    # quadratic-oracle gate to the 100x corpus and hang the ladder)
+    assert gate_ladder.QUAD_GATES <= set(ALL_QUERIES)
 
 
 @pytest.mark.parametrize("name", ORACLES)

@@ -68,14 +68,15 @@ def _fetching_domains_per_wave(eng):
 @pytest.fixture(scope="module")
 def base_visits(spark, tmp_path_factory, web_frames):
     """One unthrottled reference run shared by all three tests.  Runs
-    with wave_budget=None (fewest waves — per-domain visit order is
-    budget-independent, pinned by test_topdomain_budget)."""
+    with the SAME wave_budget=2 as the throttled runs so the equality
+    assertions isolate the throttle knobs (not the separately-pinned
+    budget-independence invariant)."""
     pages, domains = web_frames
     eng = SparkCrawlEngine(
         spark, str(tmp_path_factory.mktemp("thr") / "base"), seed=SEED, n_buckets=4
     )
     eng.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
-    eng.run_waves(pages, wave_budget=None)
+    eng.run_waves(pages, wave_budget=2)
     return _per_domain_visits(eng)
 
 
@@ -144,3 +145,15 @@ def test_both_throttles_compose(spark, tmp_path, web_frames, base_visits):
     per_wave = _fetching_domains_per_wave(both)
     assert all(len(d) <= 4 for d in per_wave.values())
     assert _per_domain_visits(both) == base_visits
+
+
+def test_zero_throttle_knobs_rejected(spark, tmp_path):
+    """cap=0 / launches=0 would empty every runnable set and silently
+    report a completed crawl with nothing fetched — must raise instead."""
+    for kwargs in (
+        {"global_request_cap": 0},
+        {"conn_launches_per_wave": 0},
+        {"global_request_cap": -1},
+    ):
+        with pytest.raises(ValueError):
+            SparkCrawlEngine(spark, str(tmp_path / "z"), seed=SEED, **kwargs)

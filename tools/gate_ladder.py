@@ -42,6 +42,8 @@ Usage:
     python tools/gate_ladder.py --run simhash_pairs minhash_lsh_pairs
 Env:
     GATE_LADDER_DIR  corpus dir   (default /tmp/spark_graft_sf1)
+    GATE_LADDER_SRC  sf0.1 source parquet dir for --build
+                     (default /root/testdata/sf0.1)
     GATE_LADDER_OUT  result json  (default CORRECTNESS_sf1.json in cwd)
     GATE_LADDER_CPUS local[N]     (default 32)
 """
@@ -60,7 +62,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 LADDER_DIR = os.environ.get("GATE_LADDER_DIR", "/tmp/spark_graft_sf1")
-SRC_DIR = "/root/testdata/sf0.1"
+SRC_DIR = os.environ.get("GATE_LADDER_SRC", "/root/testdata/sf0.1")
 N_REPLICAS = 10
 SHIFT = 1_000_000
 
@@ -294,6 +296,9 @@ def run(names=None, sf_dir: str = LADDER_DIR, out_json: str | None = None):
             rec["err"] = repr(ex)[:400]
         rec["sec"] = round(time.perf_counter() - t0, 2)
         results[name] = rec
+        # 52 queries share one session: release per-query persisted
+        # subtrees (LSH/simhash signatures, bloom probe intermediates)
+        spark.catalog.clearCache()
         status = (
             "ERR"
             if rec["err"]
