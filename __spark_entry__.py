@@ -1065,6 +1065,9 @@ def q_cookie_markers(spark, sf_dir):
             "domain",
             "url",
             F.col("has_cookies").cast("long").alias("has_cookies"),
+            "ip",
+            F.col("request_time_ms").cast("long").alias("request_time_ms"),
+            "header",
         )
     )
 

@@ -43,6 +43,39 @@ MAX_ERRORS = 20
 USER_AGENT = "search.marginalia.nu"
 DEFAULT_DELAY_MIN_MS = 1000
 DEFAULT_DELAY_MAX_MS = 2500
+
+# Slop record timestamps (SlopCrawlDataRecord.java:50 — epoch millis of
+# the fetch) ride the session's virtual clock over the same fixed epoch
+# as Retry-After, so stored records are bit-reproducible across runs
+_RECORD_EPOCH_MS = int(_RETRY_EPOCH.timestamp() * 1000)
+
+
+def synth_ip(domain: str) -> str:
+    """Deterministic resolver analogue for the simulated web: the Slop
+    ``ip`` column (SlopCrawlDataRecord.java:47) records the address the
+    client connected to; the simulation derives one stable RFC-1918
+    address per domain from the canonical url hash kernel."""
+    from ..canon.murmur import hash_nearly_ascii
+
+    h = hash_nearly_ascii(domain)
+    return f"10.{(h >> 16) & 255}.{(h >> 8) & 255}.{h & 255}"
+
+
+def _header_block(page: Page, tags: list) -> str:
+    """Reconstructed raw response-header block — the Slop ``header``
+    string column (SlopCrawlDataRecord.java:54 stores the wire headers; a
+    simulated response reconstructs them from its typed fields, one
+    ``Name: value`` line each, in a canonical order)."""
+    lines = [f"Content-Type: {page.content_type}"]
+    if page.etag:
+        lines.append(f"ETag: {page.etag}")
+    if page.last_modified:
+        lines.append(f"Last-Modified: {page.last_modified}")
+    for t in tags:
+        lines.append(f"X-Robots-Tag: {t}")
+    if page.set_cookie:
+        lines.append(f"Set-Cookie: {page.set_cookie}")
+    return "\n".join(lines)
 # per-request budgets (WarcRecorder.java:41-45): bodies stream-truncated at
 # 32 MB, a single fetch capped at 30 s.  The synthetic fetch honors both:
 # bodies are clipped before recording/fingerprinting, and fetch_time_ms is
@@ -496,6 +529,16 @@ class DomainCrawlSession:
             "image_id": page.image_id,
             "etag": page.etag,
             "last_modified": page.last_modified,
+            # Slop at-rest parity (SlopCrawlDataRecord.java:35-54): the
+            # resolved server ip, the record's epoch-millis timestamp
+            # (virtual clock over the fixed epoch — reproducibility pin),
+            # the request duration, and the raw response header block
+            # (reconstructed from the simulated response; a live client
+            # stores the wire bytes here)
+            "ip": synth_ip(self.info.domain),
+            "timestamp": _RECORD_EPOCH_MS + self.timer.clock_ms,
+            "request_time_ms": fetch_time_ms(str(url)),
+            "header": _header_block(page, tags),
             # the Slop `cookies` byte column / X-Has-Cookies WARC marker
             # (SlopCrawlDataRecord.java:48; WarcRecorder.java:140-141) —
             # jar state AFTER this response updated it

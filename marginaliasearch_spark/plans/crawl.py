@@ -95,6 +95,11 @@ WAVE_OUT_SCHEMA = T.StructType(
         T.StructField("psnr_ok", T.IntegerType()),
         T.StructField("lsh64", T.LongType()),    # content fingerprint (revisit)
         T.StructField("has_cookies", T.IntegerType()),  # Slop `cookies` column
+        # Slop at-rest parity (SlopCrawlDataRecord.java:35-54)
+        T.StructField("ip", T.StringType()),
+        T.StructField("timestamp", T.LongType()),       # epoch millis (virtual)
+        T.StructField("request_time_ms", T.IntegerType()),
+        T.StructField("header", T.StringType()),        # raw header block
     ]
 )
 
@@ -255,6 +260,10 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
                     psnr_ok=(None if "psnr_ok" not in rec else int(rec["psnr_ok"])),
                     lsh64=rec.get("lsh64"),
                     has_cookies=int(rec.get("has_cookies", 0)),
+                    ip=rec.get("ip"),
+                    timestamp=rec.get("timestamp"),
+                    request_time_ms=rec.get("request_time_ms"),
+                    header=rec.get("header"),
                 )
             )
         if phase == "active":
@@ -288,9 +297,9 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
         # dtype=object stops pandas decaying int+None columns to float64,
         # which silently corrupts 64-bit url hashes; then go to nullable ints
         pdf = pd.DataFrame(out, columns=_OUT_COLS, dtype=object)
-        for col in ("url_hash", "seq", "virtual_ms", "idx", "phash", "lsh64"):
+        for col in ("url_hash", "seq", "virtual_ms", "idx", "phash", "lsh64", "timestamp"):
             pdf[col] = pdf[col].astype("Int64")
-        for col in ("http_status", "psnr_ok", "has_cookies"):
+        for col in ("http_status", "psnr_ok", "has_cookies", "request_time_ms"):
             pdf[col] = pdf[col].astype("Int32")
         return pdf
 
@@ -407,7 +416,8 @@ class SparkCrawlEngine:
                 "crawl_data",
                 ["domain", "url", "http_status", "content_type", "image_id",
                  "etag", "last_modified", "phash", "psnr_ok", "lsh64",
-                 "has_cookies", "wave", "idx"],
+                 "has_cookies", "ip", "timestamp", "request_time_ms",
+                 "header", "wave", "idx"],
             )
         if table == "fetch_log":
             v = self._wave_view(

@@ -664,11 +664,28 @@ def generate_cookie_fixture():
                 if "=" in first:
                     k, v = first.split("=", 1)
                     jar[k.strip()] = v.strip()
+            # Slop at-rest parity truth (SlopCrawlDataRecord.java:35-54):
+            # the gate pins that ip / request_time_ms / the raw header
+            # block survive the distributed at-rest path byte-exact.  All
+            # three are deterministic: ip from the synthetic resolver,
+            # duration from the fetch-time kernel, header reconstructed
+            # here LITERALLY (not via the session's builder) from the
+            # planted response fields
+            from ..oracle.session import synth_ip
+            from .synthetic_web import fetch_time_ms
+
+            url = f"https://{name}{path}"
+            header = "Content-Type: text/html"
+            if set_cookie:
+                header += f"\nSet-Cookie: {set_cookie}"
             expected_rows.append(
                 {
                     "domain": name,
-                    "url": f"https://{name}{path}",
+                    "url": url,
                     "has_cookies": 1 if jar else 0,
+                    "ip": synth_ip(name),
+                    "request_time_ms": fetch_time_ms(url),
+                    "header": header,
                 }
             )
     return pages_rows, domains_rows, expected_rows
@@ -694,7 +711,8 @@ def ensure_cookie_export(export_dir: str | None = None) -> str:
 def cookie_oracle_sql(export_dir: str) -> str:
     p = os.path.join(export_dir, "gw_cookie.parquet")
     return (
-        f"SELECT domain, url, CAST(has_cookies AS BIGINT) AS has_cookies"
+        f"SELECT domain, url, CAST(has_cookies AS BIGINT) AS has_cookies,"
+        f" ip, CAST(request_time_ms AS BIGINT) AS request_time_ms, header"
         f" FROM read_parquet('{p}')"
     )
 

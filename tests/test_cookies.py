@@ -102,3 +102,44 @@ def test_has_cookies_marker_per_url(spark, tmp_path, wave_budget):
         .collect()
     }
     assert got == EXPECTED
+
+
+def test_slop_parity_columns_at_rest(spark, tmp_path):
+    """Slop at-rest parity (SlopCrawlDataRecord.java:35-54): every stored
+    record carries ip / timestamp / request_time_ms / header; timestamps
+    ride the virtual clock over the fixed epoch so two identical runs are
+    bit-identical, per-domain nondecreasing in visit order."""
+    from marginaliasearch_spark.oracle.session import _RECORD_EPOCH_MS, synth_ip
+    from marginaliasearch_spark.sources.synthetic_web import fetch_time_ms
+
+    pages_pdf, domains_pdf = _cookie_web_frames()
+    ps, ds = spark_schemas()
+    pages = spark.createDataFrame(pages_pdf, schema=ps)
+    domains = spark.createDataFrame(domains_pdf, schema=ds)
+
+    def run(tag):
+        eng = SparkCrawlEngine(spark, str(tmp_path / tag), seed=42, n_buckets=2)
+        eng.init_run(domains, domains.select("domain", "crawl_depth", "seed_urls"))
+        eng.run_waves(pages, wave_budget=None)
+        return sorted(
+            tuple(r)
+            for r in eng.read_table("crawl_data")
+            .select("domain", "url", "ip", "timestamp", "request_time_ms",
+                    "header", "wave", "idx")
+            .collect()
+        )
+
+    rows1, rows2 = run("p1"), run("p2")
+    assert rows1 == rows2, "timestamps not reproducible across identical runs"
+    assert rows1, "no records stored"
+    by_domain: dict = {}
+    for dom, url, ip, ts, rt, header, wave, idx in rows1:
+        assert ip == synth_ip(dom)
+        assert ts >= _RECORD_EPOCH_MS
+        assert rt == fetch_time_ms(url)
+        assert header.startswith("Content-Type: ")
+        by_domain.setdefault(dom, []).append((wave, idx, ts))
+    for dom, recs in by_domain.items():
+        recs.sort()
+        stamps = [ts for _, _, ts in recs]
+        assert stamps == sorted(stamps), f"{dom}: timestamps not monotone in visit order"
