@@ -21,6 +21,7 @@ SnapshotCatalog operation maps onto the corresponding Iceberg call.
 | `compact_wave_out()` + `truncate_append` | `CALL cat.system.rewrite_data_files(table => t)` | same contract: rewrites data, older snapshots keep referencing originals |
 | `expire_snapshots(keep_last)` | `CALL cat.system.expire_snapshots(table => t, retain_last => k)` | deletes manifests + data files only reachable from expired snapshots |
 | `rollback_to(n)` | `CALL cat.system.rollback_to_snapshot(t, <id of tag wave_N>)` per table | newer snapshots become unreferenced (then expire reclaims) |
+| ignored uncommitted wave dir on resume | `resume_cleanup()`: roll each table back to its newest `wave_N` tag | Iceberg writes commit immediately — a crash mid-`commit_wave` leaves tagless orphan snapshots that MUST be rolled off before the wave re-runs (the parquet layer gets this for free) |
 | per-bucket lineage (`frontier_buckets` map) | the `t.files`/`t.partitions` metadata tables | per-partition file lineage is first-class in Iceberg |
 
 No semantic gaps: every checkpoints.py contract (atomic per-wave
@@ -140,6 +141,33 @@ class IcebergCheckpointAdapter:
             f"CALL {self.catalog}.system.set_current_snapshot"
             f"(table => '{self.namespace}.{table}', ref => 'wave_{wave:06d}')"
         )
+
+    def resume_cleanup(self, tables) -> dict:
+        """Crash-recovery step BEFORE re-running an interrupted wave.
+
+        Unlike the parquet SnapshotCatalog (whose uncommitted wave dirs
+        are simply invisible), Iceberg commits each ``commit_wave`` write
+        as its own snapshot immediately — a crash between the writes and
+        the wave tags leaves committed-but-UNTAGGED snapshots on some
+        tables.  Re-running the wave on top of those would double-append.
+        Recovery contract: roll every table back to its newest ``wave_N``
+        tag (the last fully-committed wave), making the orphan snapshots
+        non-ancestors; ``expire_snapshots`` later reclaims them.  Returns
+        {table: restored wave tag or None (table never tagged)}."""
+        restored: dict = {}
+        for t in tables:
+            rows = self.spark.sql(
+                f"SELECT max(name) AS latest FROM {self._t(t)}.refs "
+                f"WHERE name LIKE 'wave\\_%'"
+            ).collect()
+            latest = rows[0]["latest"] if rows else None
+            restored[t] = latest
+            if latest is not None:
+                self.spark.sql(
+                    f"CALL {self.catalog}.system.set_current_snapshot"
+                    f"(table => '{self.namespace}.{t}', ref => '{latest}')"
+                )
+        return restored
 
 
 __all__ = ["IcebergCheckpointAdapter"]
