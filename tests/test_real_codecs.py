@@ -215,3 +215,19 @@ def test_corpus_png_rows_ride_real_path():
         assert image_backend_of(row["bytes"]) == expect
         dec, _ = decode_image(row["bytes"])
         assert phash64(dec) == row["phash"]
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_encode_png_filter_types_roundtrip(ftype):
+    """encode_png's vectorized per-filter emit (round 5) agrees with the
+    independent forward-filter builder above and round-trips exactly."""
+    from marginaliasearch_spark.functions.imagecodec import encode_png
+
+    rng = np.random.default_rng([ftype, 7])
+    arr = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
+    data = encode_png(arr, filter_type=ftype)
+    dec, fmt = decode_image(data)
+    assert fmt == "png"
+    assert np.array_equal(dec, arr)
+    # byte-identical filtered scanlines vs the independent builder
+    assert data == _filtered_png(arr, ftype)
