@@ -160,6 +160,44 @@ def q_timed_run_order(spark, sf_dir):
     )
 
 
+def q_batch_run_order(spark, sf_dir):
+    """Batch-run spec arrangement: sibling-heavy top-domains (>=8) first,
+    then the seeded per-domain md5 draw, domain tiebreak
+    (CrawlerMain.java:527-542; operators/scheduling.py::batch_run_order —
+    the draw is md5('42|'||domain), computable identically in DuckDB, so
+    the oracle pins the exact permutation).  Specs synthesized from
+    customer: top_domain = nation bucket, so sibling counts straddle the
+    >=8 grouped-first threshold at every sf."""
+    c = _t(spark, sf_dir, "customer")
+    specs = c.select(
+        F.concat(F.lit("d"), F.col("c_custkey").cast("string"),
+                 F.lit(".n"), F.col("c_nationkey").cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string"),
+                 F.lit(".example.com")).alias("top_domain"),
+    )
+    from marginaliasearch_spark.operators.scheduling import batch_run_order
+
+    ordered = batch_run_order(specs, seed=42)
+    # re-derive the rank with the SAME keys the operator sorts by (order
+    # itself does not survive the driver's set-compare) — the pytest
+    # partition-invariance check pins that the operator's physical order
+    # matches this rank
+    siblings = specs.groupBy("top_domain").agg(F.count("*").alias("sibling_count"))
+    w = Window.orderBy(
+        F.desc((F.col("sibling_count") >= 8).cast("int")),
+        F.md5(F.concat(F.lit("42|"), F.col("domain"))),
+        F.col("domain"),
+    )
+    return (
+        ordered.join(F.broadcast(siblings), "top_domain")
+        .withColumn("crawl_rank", F.row_number().over(w))
+        .select("domain", "top_domain",
+                F.col("sibling_count").cast("long").alias("sibling_count"),
+                "crawl_rank")
+    )
+
+
 def q_depth_growth(spark, sf_dir):
     """increaseDepth arithmetic: base=max(visited,depth);
     min(base+2500, base*1.5) (DomainCrawlFrontier:69-76)."""
@@ -1342,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "availability_classify": q_availability_classify,
         "priority_topk": q_priority_topk,
         "timed_run_order": q_timed_run_order,
+        "batch_run_order": q_batch_run_order,
         "depth_growth": q_depth_growth,
         "spec_growth": q_spec_growth,
         "good_status_count": q_good_status_count,
@@ -1620,6 +1659,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 2000
+        """,
+        "batch_run_order": """
+            SELECT domain, top_domain, sibling_count,
+                   CAST(row_number() OVER (
+                       ORDER BY (sibling_count >= 8) DESC,
+                                md5('42|' || domain),
+                                domain) AS INT) AS crawl_rank
+            FROM (
+                SELECT 'd' || CAST(c_custkey AS VARCHAR) || '.n' ||
+                           CAST(c_nationkey AS VARCHAR) || '.example.com' AS domain,
+                       'n' || CAST(c_nationkey AS VARCHAR) || '.example.com' AS top_domain,
+                       count(*) OVER (PARTITION BY c_nationkey) AS sibling_count
+                FROM customer) t
         """,
         "timed_run_order": """
             SELECT c_custkey, last_order,

@@ -47,13 +47,24 @@ def permits_col(top_domain: Column) -> Column:
 
 
 def batch_run_order(specs: DataFrame, seed: int = 42, top_col: str = "top_domain") -> DataFrame:
-    """Sibling-heavy top-domains first, then seeded-random shuffle."""
+    """Batch-run spec order: sibling-heavy top-domains (≥8 siblings)
+    first, then a seeded per-domain shuffle (CrawlerMain.java:527-542 —
+    grouped-first comparator, then a per-domain random draw; the
+    reference deliberately re-rolls per process start, this engine pins
+    the draw to ``seed`` as its documented determinism pin).
+
+    The draw is ``md5(seed|domain)`` — a pure Column op whose value is a
+    function of the ROW alone, so the order is identical under any
+    partition layout or cluster size.  (The previous ``F.rand(seed)``
+    draw depended on the task split: the same spec list ordered
+    differently on different clusters.)"""
     siblings = specs.groupBy(top_col).agg(F.count("*").alias("sibling_count"))
     return (
         specs.join(F.broadcast(siblings), top_col)
         .withColumn("_grouped_first", (F.col("sibling_count") >= 8).cast("int"))
-        .orderBy(F.desc("_grouped_first"), F.rand(seed))
-        .drop("_grouped_first", "sibling_count")
+        .withColumn("_draw", F.md5(F.concat(F.lit(f"{seed}|"), F.col("domain"))))
+        .orderBy(F.desc("_grouped_first"), F.col("_draw"), F.col("domain"))
+        .drop("_grouped_first", "sibling_count", "_draw")
     )
 
 

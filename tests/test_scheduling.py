@@ -98,3 +98,54 @@ def test_top_domain_makespan(spark):
     assert got["substack.com"]["budget_wall_ms"] == 20_000
     assert got["plain.com"]["permits"] == 2
     assert got["plain.com"]["budget_wall_ms"] == 30_000
+
+
+def test_batch_run_order_partition_invariant(spark):
+    """The seeded draw is a function of the row alone (md5, not F.rand):
+    the physical output order must be identical under any partition
+    layout — the property a cluster resize would otherwise break — and
+    must equal the gate's rank derivation."""
+    import pandas as pd
+
+    from marginaliasearch_spark.operators.scheduling import batch_run_order
+
+    # sibling counts straddle the >=8 threshold: one 20-member top
+    # domain, one 8, one 7 (boundary), and singles
+    rows = [
+        {"domain": f"d{i}.big.example.com", "top_domain": "big.example.com"}
+        for i in range(20)
+    ] + [
+        {"domain": f"d{i}.edge8.example.com", "top_domain": "edge8.example.com"}
+        for i in range(8)
+    ] + [
+        {"domain": f"d{i}.edge7.example.com", "top_domain": "edge7.example.com"}
+        for i in range(7)
+    ] + [
+        {"domain": f"solo{i}.example.com", "top_domain": f"solo{i}.example.com"}
+        for i in range(22)
+    ]
+    specs = spark.createDataFrame(pd.DataFrame(rows))
+
+    orders = []
+    for parts in (1, 7, 32):
+        got = [
+            r["domain"]
+            for r in batch_run_order(specs.repartition(parts), seed=42).collect()
+        ]
+        orders.append(got)
+    assert orders[0] == orders[1] == orders[2], "order depends on partitioning"
+    assert sorted(orders[0]) == sorted(r["domain"] for r in rows)
+
+    # grouped-first: every >=8-sibling top-domain precedes every smaller
+    # one (the 7-sibling boundary group must land in the back block)
+    counts: dict = {}
+    top_of = {r["domain"]: r["top_domain"] for r in rows}
+    for r in rows:
+        counts[r["top_domain"]] = counts.get(r["top_domain"], 0) + 1
+    flags = [counts[top_of[d]] >= 8 for d in orders[0]]
+    assert flags == sorted(flags, reverse=True)
+    assert sum(flags) == 28  # big(20) + edge8(8); edge7 + solos follow
+
+    # a different seed produces a different permutation (the draw binds)
+    other = [r["domain"] for r in batch_run_order(specs, seed=43).collect()]
+    assert other != orders[0]
