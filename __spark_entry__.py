@@ -292,6 +292,10 @@ _HTML_FIXTURE_URLS = {
     "entities.html": "https://ent.example.com/base/doc.html",
     "malformed.html": "https://mal.example.com/m/x.html",
     "fuzz.html": "https://fuzz.example.com/base/other.html",
+    "advbase.html": "https://docbase.example.com/dir/page.html",
+    "advbase2.html": "https://docbase2.example.com/d/p.html",
+    "advattrs.html": "https://attrs.example.com/a/b.html",
+    "advrawtext.html": "https://raw.example.com/r/doc.html",
 }
 
 
@@ -760,6 +764,42 @@ def q_crawl_visited_set(spark, sf_dir):
     specs = domains.select("domain", "crawl_depth", "seed_urls")
     out_dir = tempfile.mkdtemp(prefix="msx_q_")
     engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=4)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+    v = engine.read_table("visits")
+    return v.select("domain", "url").distinct()
+
+
+def q_link_filter_kinds(spark, sf_dir):
+    """Per-site-type link filter gate: one fixture domain per
+    LinkFilterSelector arm (blogspot / substack / lemmy / discourse +
+    default control, LinkFilterSelector.java:15-66).  The engine must
+    DISCOVER each kind from root-document signals (top-domain,
+    window.lemmyConfig script, generator meta) and keep applying the
+    cherry-picking predicate beyond the root; the DuckDB oracle
+    re-derives the visited set as a recursive reachability closure with
+    the predicates mirrored as plain SQL — no engine code."""
+    import tempfile
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_linkfilter_export,
+        generate_linkfilter_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+    import pandas as pd
+
+    ensure_linkfilter_export()
+    pages_rows, domains_rows, _, _ = generate_linkfilter_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+    out_dir = tempfile.mkdtemp(prefix="msx_q_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=2)
     engine.init_run(domains, specs)
     engine.run_waves(pages, wave_budget=None)
     v = engine.read_table("visits")
@@ -1413,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "payload_validate": q_payload_validate,
         "crawl_visited_set": q_crawl_visited_set,
+        "link_filter_kinds": q_link_filter_kinds,
         "recrawl_retention": q_recrawl_retention,
         "ip_admission": q_ip_admission,
         "crawl_visit_order": q_crawl_visit_order,
@@ -1444,7 +1485,9 @@ def oracle_sql() -> dict[str, str]:
         ensure_sitemap_export,
         ensure_xrobots_export,
         ensure_domain_meta_export,
+        ensure_linkfilter_export,
         content_probe_oracle_sql,
+        linkfilter_oracle_sql,
         domain_meta_oracle_sql,
         cookie_oracle_sql,
         sitemap_oracle_sql,
@@ -1477,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
     xr_dir = ensure_xrobots_export()
     dm_dir = ensure_domain_meta_export()
     ct_dir = ensure_content_probe_export()
+    lf_dir = ensure_linkfilter_export()
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
     )
@@ -1499,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE seq NOT IN ('ERR', 'EMPTY')
         """,
         "crawl_visited_set": gate_oracle_sql(gate_dir),
+        "link_filter_kinds": linkfilter_oracle_sql(lf_dir),
         "recrawl_retention": recrawl_oracle_sql(rc_dir),
         "crawl_visit_order": order_oracle_sql(ord_dir),
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),

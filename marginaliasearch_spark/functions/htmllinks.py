@@ -18,8 +18,10 @@ selector loop over it.  jsoup itself is not available in this image
 (no jar, no network), so parity is verified in two layers: the element
 stream → links pipeline differentially against the COMPILED reference
 LinkParser + the enqueue loop over the same element streams
-(tests/golden/htmllinks_diff.tsv), and the HTML → element stream layer
-against hand-derived HTML5-tokenizer vectors (tests/test_htmllinks.py).
+(tests/golden/htmllinks_diff.tsv; the compile-in-place harness is
+committed at tools/htmllinks_harness/ and regenerates the golden with
+--write), and the HTML → element stream layer against hand-derived
+HTML5-tokenizer vectors (tests/test_htmllinks.py).
 Tokenizer-level jsoup behaviors mirrored: entity-decoded attribute
 values, first-wins duplicate attributes, case-insensitive tag/attr
 names, raw-text script/style content, skipped comments, and the
@@ -57,8 +59,17 @@ class _LinkElementCollector(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.elements: list[tuple[str, dict]] = []
+        # RCDATA containers: tags inside <title>/<textarea> are TEXT in
+        # HTML5 (and jsoup), never elements — script/style are already
+        # CDATA via html.parser's CDATA_CONTENT_ELEMENTS
+        self._rcdata: Optional[str] = None
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if self._rcdata is not None:
+            return
+        if tag in ("title", "textarea"):
+            self._rcdata = tag
+            return
         if tag not in _TAGS_OF_INTEREST:
             return
         first: dict = {}
@@ -67,8 +78,14 @@ class _LinkElementCollector(HTMLParser):
                 first[name] = value if value is not None else ""
         self.elements.append((tag, first))
 
+    def handle_endtag(self, tag: str) -> None:
+        if tag == self._rcdata:
+            self._rcdata = None
+
     # self-closing tags (<base/>, <frame/>) route through handle_starttag
     def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in ("title", "textarea"):
+            return  # void RCDATA start never collects and never opens
         self.handle_starttag(tag, attrs)
 
 

@@ -1410,3 +1410,181 @@ def ensure_discovery_export(export_dir: str | None = None) -> str:
 def discovery_oracle_sql(export_dir: str) -> str:
     p = os.path.join(export_dir, "gw_discovery.parquet")
     return f"SELECT domain, url FROM read_parquet('{p}')"
+
+# ---------------------------------------------------------------------------
+# Link-filter-kinds gate fixture: one domain per LinkFilterSelector arm
+# (blogspot / substack / lemmy / discourse + a default control).  The
+# generator exports only the raw link facts (domain, kind, src_url, href);
+# the DuckDB oracle re-derives the visited set as a recursive reachability
+# closure with each kind's cherry-picking predicate mirrored as plain SQL
+# (LinkFilterSelector.java:15-66) — no engine code on the oracle path.
+# The engine must DISCOVER the kind from root-document signals (top-domain
+# for blogspot/substack, lemmyConfig script, generator meta) and keep
+# applying it beyond the root (each fixture web is two links deep).
+# ---------------------------------------------------------------------------
+
+
+def generate_linkfilter_fixture():
+    """Returns (pages_rows, domains_rows, lf_domains, lf_links)."""
+    pages_rows, domains_rows = [], []
+    lf_domains, lf_links = [], []
+
+    webs = [
+        # (domain, kind, generator_meta, has_lemmy_config, {path: [hrefs]})
+        (
+            "myblog.blogspot.com", "blogspot", "", False,
+            {
+                "/": ["/2024/01/alpha.html", "/feeds/posts/default",
+                      "/feedstock.html", "/feedback.html", "/p/about.html"],
+                "/2024/01/alpha.html": ["/2024/02/beta.html",
+                                        "/feeds/comments/default"],
+                "/2024/02/beta.html": [],
+                "/p/about.html": [],
+                "/feedback.html": [],
+                # refused targets exist as real 200 pages: a filter
+                # regression would visit them and surface as extra rows
+                "/feeds/posts/default": ["/never/seen.html"],
+                "/feedstock.html": [],
+                "/feeds/comments/default": [],
+                "/never/seen.html": [],
+            },
+        ),
+        (
+            "writer.substack.com", "substack", "", False,
+            {
+                "/": ["/p/post1.html", "/p/post1/comments", "/comments",
+                      "/comments.html", "/about.html"],
+                "/p/post1.html": ["/p/post2.html", "/p/post2/comments"],
+                "/p/post2.html": [],
+                "/about.html": [],
+                "/comments.html": [],
+                "/p/post1/comments": ["/never/seen.html"],
+                "/comments": [],
+                "/p/post2/comments": [],
+                "/never/seen.html": [],
+            },
+        ),
+        (
+            "lemmy.example.org", "lemmy", "", True,
+            {
+                "/": ["/post/101", "/c/rust", "/c/rust@remote.example",
+                      "/u/alice", "/communities", "/postings"],
+                "/post/101": ["/post/102", "/u/bob"],
+                "/c/rust": ["/post/103", "/c/meta@other.host"],
+                "/post/102": [],
+                "/post/103": [],
+                "/c/rust@remote.example": ["/never/seen"],
+                "/u/alice": [],
+                "/u/bob": [],
+                "/communities": [],
+                "/postings": [],
+                "/c/meta@other.host": [],
+                "/never/seen": [],
+            },
+        ),
+        (
+            "forum.example.org", "discourse", "Discourse 3.2.0", False,
+            {
+                "/": ["/t/intro/1", "/latest", "/c/bugs/latest", "/u/bob",
+                      "/tags", "/top"],
+                "/t/intro/1": ["/t/intro/2", "/u/carol"],
+                "/latest": ["/t/help/9"],
+                "/t/intro/2": [],
+                "/t/help/9": [],
+                "/c/bugs/latest": [],
+                "/u/bob": ["/never/seen"],
+                "/u/carol": [],
+                "/tags": [],
+                "/top": [],
+                "/never/seen": [],
+            },
+        ),
+        (
+            "plain.example.org", "default", "", False,
+            {
+                # the control: every shape the other kinds refuse is ADMITTED
+                "/": ["/feeds/x.html", "/p/a/comments", "/u/bob",
+                      "/anything.html"],
+                "/feeds/x.html": [],
+                "/p/a/comments": [],
+                "/u/bob": [],
+                "/anything.html": [],
+            },
+        ),
+    ]
+
+    for name, kind, gen_meta, lemmy_cfg, web in webs:
+        top = ".".join(name.split(".")[-2:])
+        domains_rows.append(
+            {
+                "domain": name, "top_domain": top, "proto": "https",
+                "probe": "ok", "robots_txt": None,
+                "site_kind": kind if kind != "default" else "default",
+                "crawl_depth": 10_000, "seed_urls": [], "sitemap_urls": [],
+                "generator_meta": gen_meta, "has_lemmy_config": lemmy_cfg,
+            }
+        )
+        lf_domains.append({"domain": name, "kind": kind})
+        for path, hrefs in web.items():
+            url = f"https://{name}{path}"
+            pages_rows.append(
+                {
+                    "domain": name, "path": path, "param": None,
+                    "url": url, "status": 200, "redirect_to": None,
+                    "content_type": "text/html", "image_id": None,
+                    "base_href": None, "links": list(hrefs),
+                    "feed_links": [], "body_marker": None, "etag": None,
+                    "last_modified": None, "body_text": None,
+                }
+            )
+            for href in hrefs:
+                lf_links.append({"domain": name, "src_url": url, "href": href})
+    return pages_rows, domains_rows, lf_domains, lf_links
+
+
+def ensure_linkfilter_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, lf_domains, lf_links = generate_linkfilter_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("lf", (lf_domains, lf_links))
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_lf_tmp_")
+    pd.DataFrame(lf_domains).to_parquet(os.path.join(tmp, "lf_domains.parquet"))
+    pd.DataFrame(lf_links).to_parquet(os.path.join(tmp, "lf_links.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def linkfilter_oracle_sql(export_dir: str) -> str:
+    """Recursive reachability closure with the per-kind cherry-picking
+    predicates as plain SQL (LinkFilterSelector.java:15-66)."""
+    dd = os.path.join(export_dir, "lf_domains.parquet")
+    ll = os.path.join(export_dir, "lf_links.parquet")
+    return f"""
+        WITH RECURSIVE
+        doms AS (SELECT domain, kind FROM read_parquet('{dd}')),
+        adm AS (
+            SELECT l.domain, l.src_url,
+                   'https://' || l.domain || l.href AS dst_url
+            FROM read_parquet('{ll}') l JOIN doms d USING (domain)
+            WHERE CASE d.kind
+                WHEN 'blogspot'  THEN l.href NOT LIKE '/feeds%'
+                WHEN 'substack'  THEN l.href NOT LIKE '%/comments'
+                WHEN 'lemmy'     THEN l.href LIKE '/post/%'
+                     OR (l.href LIKE '/c/%' AND l.href NOT LIKE '%@%')
+                WHEN 'discourse' THEN l.href LIKE '/t/%'
+                     OR l.href LIKE '%/latest%'
+                ELSE TRUE END),
+        visited (domain, url) AS (
+            SELECT domain, 'https://' || domain || '/' FROM doms
+            UNION
+            SELECT a.domain, a.dst_url
+            FROM visited v
+            JOIN adm a ON v.domain = a.domain AND v.url = a.src_url)
+        SELECT domain, url FROM visited
+    """

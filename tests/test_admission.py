@@ -174,3 +174,39 @@ def test_retry_clamp():
     assert clamp_retry_delay_seconds(0) == 1
     assert clamp_retry_delay_seconds(3) == 3
     assert clamp_retry_delay_seconds(600) == 5
+
+
+def test_linkfilter_gate_oracle_truth():
+    """The link_filter_kinds gate's DuckDB oracle reproduces the
+    hand-derived visited set for each LinkFilterSelector arm — pins the
+    fixture truth itself so a fixture edit can't silently shift the gate."""
+    import duckdb
+
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_linkfilter_export,
+        linkfilter_oracle_sql,
+    )
+
+    d = ensure_linkfilter_export()
+    rows = duckdb.sql(linkfilter_oracle_sql(d)).fetchall()
+    by_dom: dict = {}
+    for dom, url in rows:
+        by_dom.setdefault(dom, set()).add(url.split(dom, 1)[1])
+    assert by_dom["myblog.blogspot.com"] == {
+        "/", "/2024/01/alpha.html", "/2024/02/beta.html",
+        "/p/about.html", "/feedback.html",
+    }
+    assert by_dom["writer.substack.com"] == {
+        "/", "/p/post1.html", "/p/post2.html", "/about.html",
+        "/comments.html",
+    }
+    assert by_dom["lemmy.example.org"] == {
+        "/", "/post/101", "/post/102", "/post/103", "/c/rust",
+    }
+    assert by_dom["forum.example.org"] == {
+        "/", "/t/intro/1", "/t/intro/2", "/latest", "/c/bugs/latest",
+        "/t/help/9",
+    }
+    assert by_dom["plain.example.org"] == {
+        "/", "/feeds/x.html", "/p/a/comments", "/u/bob", "/anything.html",
+    }

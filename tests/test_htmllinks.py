@@ -32,6 +32,10 @@ DOC_URLS = {
     "entities.html": "https://ent.example.com/base/doc.html",
     "malformed.html": "https://mal.example.com/m/x.html",
     "fuzz.html": "https://fuzz.example.com/base/other.html",
+    "advbase.html": "https://docbase.example.com/dir/page.html",
+    "advbase2.html": "https://docbase2.example.com/d/p.html",
+    "advattrs.html": "https://attrs.example.com/a/b.html",
+    "advrawtext.html": "https://raw.example.com/r/doc.html",
 }
 
 
