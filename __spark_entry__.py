@@ -26,6 +26,8 @@ from __future__ import annotations
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -806,6 +808,137 @@ def q_link_filter_kinds(spark, sf_dir):
     return v.select("domain", "url").distinct()
 
 
+def q_queryparams_sanitize(spark, sf_dir):
+    """queryParamsSanitizer (canon/queryparams.py — QueryParams.java:15-70)
+    over the compiled-reference golden input table: tracking params
+    dropped, whitelisted params kept per-path, lexicographic reorder.
+    The oracle is the golden's expected column (generated by compiling
+    the reference's QueryParams), so the kernel is driver-checked
+    bit-exact against the reference itself."""
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    gold = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "queryparams_diff.tsv",
+    )
+    rows = [
+        line.rstrip("\n").split("\t")
+        for line in open(gold, encoding="utf-8")
+    ]
+    df = spark.createDataFrame(
+        [(p, q) for p, q, _ in rows], "path string, params string"
+    )
+
+    @pandas_udf(T.StringType())
+    def _sanitize(paths: pd.Series, params: pd.Series) -> pd.Series:
+        from marginaliasearch_spark.canon.queryparams import query_params_sanitizer
+
+        return pd.Series(
+            [query_params_sanitizer(p, q) for p, q in zip(paths, params)]
+        )
+
+    return df.select(
+        "path", "params", _sanitize(F.col("path"), F.col("params")).alias("sanitized")
+    )
+
+
+def q_robots_allowed(spark, sf_dir):
+    """robots.txt is_allowed verdicts (functions/robots.py — RFC 9309 +
+    the reference's crawler-commons SimpleRobotRules semantics,
+    DomainCrawlerRobotsTxtTest.java:10-30) over the planted vector table:
+    UA-override groups, Allow carve-outs, wildcard/$ rules,
+    longest-match precedence, missing/empty/foreign-UA files.  Expected
+    verdicts are declared at generation, independent of the parser."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_robots_export,
+        generate_robots_fixture,
+    )
+
+    ensure_robots_export()
+    rows = generate_robots_fixture()
+    df = spark.createDataFrame(
+        [(r["case_id"], r["robots_txt"], r["user_agent"], r["url"]) for r in rows],
+        "case_id long, robots_txt string, user_agent string, url string",
+    )
+
+    @pandas_udf(T.BooleanType())
+    def _allowed(txt: pd.Series, ua: pd.Series, url: pd.Series) -> pd.Series:
+        from marginaliasearch_spark.functions.robots import parse_robots_txt
+
+        return pd.Series(
+            [
+                parse_robots_txt(t if isinstance(t, str) else None, u).is_allowed(x)
+                for t, u, x in zip(txt, ua, url)
+            ]
+        )
+
+    return df.select(
+        "case_id",
+        _allowed(F.col("robots_txt"), F.col("user_agent"), F.col("url")).alias(
+            "allowed"
+        ),
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    """Connected components (operators/graph.py — min-label propagation
+    with pointer jumping) over the planted shape mix (chains, rings,
+    stars, cliques, welded shapes); the DuckDB oracle derives components
+    INDEPENDENTLY as min-reachable-id over a recursive transitive
+    closure of the same exported edges."""
+    from marginaliasearch_spark.operators.graph import connected_components
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_cc_export,
+        generate_cc_fixture,
+    )
+
+    ensure_cc_export()
+    edges = spark.createDataFrame(
+        [(e["id_a"], e["id_b"]) for e in generate_cc_fixture()],
+        "id_a long, id_b long",
+    )
+    return connected_components(edges).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_pagerank_order(spark, sf_dir):
+    """PageRank (operators/graph.py — damped power iteration with uniform
+    dangling redistribution) over the hub/leaf/sink construction whose
+    rank order is strict by design: sink first, then hubs by in-degree.
+    Returns the rank positions of sink+hubs; the oracle is the planted
+    order (leaves excluded — tied by symmetry)."""
+    from pyspark.sql import Window
+
+    from marginaliasearch_spark.operators.graph import pagerank
+    from marginaliasearch_spark.sources.gate_web import (
+        PR_N_HUBS,
+        ensure_pagerank_export,
+        generate_pagerank_fixture,
+    )
+
+    ensure_pagerank_export()
+    edge_rows, _ = generate_pagerank_fixture()
+    edges = spark.createDataFrame(
+        [(e["src"], e["dst"]) for e in edge_rows], "src long, dst long"
+    )
+    ranks = pagerank(edges, iterations=10).filter(F.col("node") <= PR_N_HUBS)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN through the shipping plan (centroid assignment + n_probe
     nearest lists + exact re-rank) on the same planted cluster — equals
@@ -1454,6 +1587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_validate": q_payload_validate,
         "crawl_visited_set": q_crawl_visited_set,
         "link_filter_kinds": q_link_filter_kinds,
+        "queryparams_sanitize": q_queryparams_sanitize,
+        "robots_allowed": q_robots_allowed,
+        "connected_components": q_connected_components,
+        "pagerank_order": q_pagerank_order,
         "recrawl_retention": q_recrawl_retention,
         "ip_admission": q_ip_admission,
         "crawl_visit_order": q_crawl_visit_order,
@@ -1486,8 +1623,14 @@ def oracle_sql() -> dict[str, str]:
         ensure_xrobots_export,
         ensure_domain_meta_export,
         ensure_linkfilter_export,
+        ensure_robots_export,
+        ensure_cc_export,
+        ensure_pagerank_export,
         content_probe_oracle_sql,
         linkfilter_oracle_sql,
+        robots_oracle_sql,
+        cc_oracle_sql,
+        pagerank_oracle_sql,
         domain_meta_oracle_sql,
         cookie_oracle_sql,
         sitemap_oracle_sql,
@@ -1521,6 +1664,13 @@ def oracle_sql() -> dict[str, str]:
     dm_dir = ensure_domain_meta_export()
     ct_dir = ensure_content_probe_export()
     lf_dir = ensure_linkfilter_export()
+    rob_dir = ensure_robots_export()
+    cc_dir = ensure_cc_export()
+    pr_dir = ensure_pagerank_export()
+    _qp_gold = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "queryparams_diff.tsv",
+    )
     _gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "url_hash64.tsv"
     )
@@ -1544,6 +1694,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_visited_set": gate_oracle_sql(gate_dir),
         "link_filter_kinds": linkfilter_oracle_sql(lf_dir),
+        "queryparams_sanitize": f"""
+            SELECT path, params, NULLIF(expected, '<null>') AS sanitized
+            FROM read_csv('{_qp_gold}', delim='\t', header=false,
+                          columns={{'path': 'VARCHAR', 'params': 'VARCHAR',
+                                    'expected': 'VARCHAR'}},
+                          nullstr='\x01', quote='')
+        """,
+        "robots_allowed": robots_oracle_sql(rob_dir),
+        "connected_components": cc_oracle_sql(cc_dir),
+        "pagerank_order": pagerank_oracle_sql(pr_dir),
         "recrawl_retention": recrawl_oracle_sql(rc_dir),
         "crawl_visit_order": order_oracle_sql(ord_dir),
         "cross_domain_discovery": discovery_oracle_sql(disc_dir),

@@ -6,14 +6,21 @@ parse fails (ref: code/processes/crawling-process/java/nu/marginalia/crawl/
 fetcher/HttpFetcherImpl.java:626-655).  This is an independent RFC 9309
 implementation covering the behaviors the reference relies on:
 
-- user-agent group selection: groups whose agent token is a (case-folded)
-  substring-match for our UA identifier win over the ``*`` group; multiple
-  consecutive ``User-agent`` lines share one rule group (the reference's
-  DomainCrawlerRobotsTxtTest exercises exactly this override pattern);
+- user-agent group selection: groups whose agent value contains our UA
+  identifier as an exact case-folded token (RFC 9309 §2.2.1; crawler-commons
+  switched from substring to exact token matching in 1.4, crawler-commons#390)
+  win over the ``*`` group; multiple consecutive ``User-agent`` lines share
+  one rule group (the reference's DomainCrawlerRobotsTxtTest exercises
+  exactly this override pattern);
 - empty ``Disallow:`` = allow-all for that group;
 - longest-prefix-match wins, Allow wins length ties; ``*``/``$`` wildcards;
 - ``Crawl-delay`` (seconds, float ok) → milliseconds;
 - ``Sitemap:`` directives collected globally.
+
+Known simplification: when several distinct groups name the same UA, the
+FIRST matching group wins (RFC 9309 §2.2.1 says duplicated-UA groups are
+combined); real-world robots files rarely duplicate a UA token, and no
+reference test exercises it.
 
 Rules serialize to/from a compact dict so they can live in a Spark
 ``domain_state`` table column and be evaluated inside pandas UDFs.
@@ -151,11 +158,15 @@ def parse_robots_txt(content: Optional[str], user_agent: str) -> RobotRules:
             if value:
                 sitemaps.append(value)
 
-    # select the matching group: specific UA match beats '*'
+    # select the matching group: specific UA match beats '*'.  Matching is
+    # EXACT case-insensitive product-token equality (RFC 9309 §2.2.1) —
+    # crawler-commons changed from substring to exact token matching in
+    # 1.4 (crawler-commons#390) and the reference pins 1.5; a robots
+    # User-agent line may carry several whitespace-separated names.
     chosen = None
     for g in groups:
         for agent in g["agents"]:
-            if agent and agent != "*" and (agent in ua or ua in agent):
+            if agent and agent != "*" and ua in agent.split():
                 chosen = g
                 break
         if chosen:

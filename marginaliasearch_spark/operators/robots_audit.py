@@ -56,7 +56,10 @@ def robots_audit(
     has to fit in one executor); ``"auto"`` (default) counts the
     dimension — a one-row planning aggregate — and broadcasts only when
     it holds at most ``broadcast_threshold`` domains (~hundreds of MB of
-    robots text; beyond that a broadcast OOMs the executors)."""
+    robots text; beyond that a broadcast OOMs the executors).  The auto
+    count is an extra Spark job PER CALL — callers invoking this in a
+    loop (or who already know the dimension's size) should pass an
+    explicit mode."""
 
     @pandas_udf(T.BooleanType())
     def allowed(urls: pd.Series, robots_txt: pd.Series) -> pd.Series:

@@ -1588,3 +1588,236 @@ def linkfilter_oracle_sql(export_dir: str) -> str:
             JOIN adm a ON v.domain = a.domain AND v.url = a.src_url)
         SELECT domain, url FROM visited
     """
+
+# ---------------------------------------------------------------------------
+# robots.txt is_allowed gate fixture: (case_id, robots_txt, user_agent, url)
+# with the expected verdicts DECLARED at generation — hand-derived from
+# RFC 9309 + the reference's robots-parsing tests (DomainCrawlerRobotsTxtTest
+# .java:10-30; the reference parses with crawler-commons SimpleRobotRules).
+# The engine must reproduce every verdict through its own parser.
+# ---------------------------------------------------------------------------
+
+_ROB_OVERRIDE = (
+    "User-agent: *\nDisallow: /\n\n"
+    "User-agent: GoogleBot\nUser-agent: search.marginalia.nu\n"
+    "Disallow:\nDisallow: /private/\n"
+)
+_ROB_BASIC = (
+    "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+    "Crawl-delay: 2.5\nSitemap: https://example.com/sitemap.xml\n"
+)
+_ROB_WILD = "User-agent: *\nDisallow: /*.php$\nDisallow: /tmp/*\n"
+_ROB_LONGEST = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+_ROB_ALL = "User-agent: *\nDisallow: /\n"
+
+
+def generate_robots_fixture():
+    """Returns rows (case_id, robots_txt, user_agent, url, exp_allowed)."""
+    cases = [
+        # UA-override block: our UA gets the empty-Disallow group,
+        # everyone else the blanket block
+        (_ROB_OVERRIDE, "search.marginalia.nu", "http://x.com/test", True),
+        (_ROB_OVERRIDE, "search.marginalia.nu", "http://x.com/private/x", False),
+        (_ROB_OVERRIDE, "randombot", "http://x.com/test", False),
+        # prefix rules + Allow carve-out
+        (_ROB_BASIC, "search.marginalia.nu", "https://e.com/", True),
+        (_ROB_BASIC, "search.marginalia.nu", "https://e.com/private/x", False),
+        (_ROB_BASIC, "search.marginalia.nu", "https://e.com/private/ok.html", True),
+        (_ROB_BASIC, "search.marginalia.nu", "https://e.com/other/page", True),
+        # wildcards and $ anchors
+        (_ROB_WILD, "bot", "https://e.com/page.php", False),
+        (_ROB_WILD, "bot", "https://e.com/page.php?x=1", True),
+        (_ROB_WILD, "bot", "https://e.com/tmp/file", False),
+        (_ROB_WILD, "bot", "https://e.com/tmp/", False),
+        (_ROB_WILD, "bot", "https://e.com/other", True),
+        # longest-match precedence (RFC 9309 §2.2.2)
+        (_ROB_LONGEST, "bot", "https://e.com/a", False),
+        (_ROB_LONGEST, "bot", "https://e.com/a/b", True),
+        (_ROB_LONGEST, "bot", "https://e.com/a/bc", True),
+        (_ROB_LONGEST, "bot", "https://e.com/ax", False),
+        (_ROB_LONGEST, "bot", "https://e.com/c", True),
+        # blanket block, root included
+        (_ROB_ALL, "bot", "https://e.com/", False),
+        (_ROB_ALL, "bot", "https://e.com/any", False),
+        # no robots.txt (404) → ALLOW_ALL
+        (None, "bot", "https://e.com/anything", True),
+        # empty file → ALLOW_ALL
+        ("", "bot", "https://e.com/anything", True),
+        # rules for a different UA only → ALLOW_ALL for us
+        ("User-agent: OtherBot\nDisallow: /\n", "bot", "https://e.com/x", True),
+    ]
+    return [
+        {
+            "case_id": i,
+            "robots_txt": txt,
+            "user_agent": ua,
+            "url": url,
+            "exp_allowed": exp,
+        }
+        for i, (txt, ua, url, exp) in enumerate(cases)
+    ]
+
+
+def ensure_robots_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    rows = generate_robots_fixture()
+    expected = [{"case_id": r["case_id"], "allowed": r["exp_allowed"]} for r in rows]
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("rob", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_rob_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_robots.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def robots_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_robots.parquet")
+    return f"SELECT case_id, allowed FROM read_parquet('{p}')"
+
+
+# ---------------------------------------------------------------------------
+# Graph gate fixtures.  Connected components: a planted mix of chains,
+# rings, stars, cliques and singleton pairs; the DuckDB oracle derives
+# components INDEPENDENTLY as min-reachable-id over a recursive
+# transitive closure of the exported edges.  PageRank: a hub/leaf/sink
+# construction whose rank ORDER is strict by design (hub_i fed by i
+# identical leaves; all hubs feed one sink), so the planted order is
+# ground truth the 10-iteration power method must reproduce.
+# ---------------------------------------------------------------------------
+
+
+def generate_cc_fixture():
+    """Returns edge rows (id_a, id_b) — components planted by shape."""
+    edges = []
+    base = 0
+
+    def chain(n):
+        nonlocal base
+        for i in range(n - 1):
+            edges.append({"id_a": base + i, "id_b": base + i + 1})
+        base += n
+
+    def ring(n):
+        nonlocal base
+        start = base
+        chain(n)
+        edges.append({"id_a": start, "id_b": start + n - 1})
+
+    def star(n):
+        nonlocal base
+        for i in range(1, n):
+            edges.append({"id_a": base, "id_b": base + i})
+        base += n
+
+    def clique(n):
+        nonlocal base
+        for i in range(n):
+            for j in range(i + 1, n):
+                edges.append({"id_a": base + i, "id_b": base + j})
+        base += n
+
+    for n in (2, 5, 17, 30):
+        chain(n)
+    for n in (3, 8, 21):
+        ring(n)
+    for n in (4, 12, 25):
+        star(n)
+    for n in (3, 6, 9):
+        clique(n)
+    # a couple of merged shapes: a chain welded to a star (one component)
+    weld_start = base
+    chain(10)
+    star(7)
+    edges.append({"id_a": weld_start, "id_b": weld_start + 10})
+    return edges
+
+
+def ensure_cc_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    edges = generate_cc_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("cc", edges)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_cc_tmp_")
+    pd.DataFrame(edges).to_parquet(os.path.join(tmp, "gw_cc_edges.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def cc_oracle_sql(export_dir: str) -> str:
+    """Independent derivation: component(id) = MIN(reachable id) via a
+    recursive transitive closure — no label propagation, no engine code."""
+    p = os.path.join(export_dir, "gw_cc_edges.parquet")
+    return f"""
+        WITH RECURSIVE
+        e AS (
+            SELECT id_a AS a, id_b AS b FROM read_parquet('{p}')
+            UNION
+            SELECT id_b, id_a FROM read_parquet('{p}')),
+        nodes AS (SELECT DISTINCT a AS id FROM e),
+        reach (id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    """
+
+
+PR_N_HUBS = 10
+
+
+def generate_pagerank_fixture():
+    """Returns (edge_rows, expected_rows).
+
+    Node ids: sink=0, hubs 1..PR_N_HUBS, leaves from 1000 up.  hub_i is
+    fed by i dedicated leaves (identical rank by symmetry), every hub
+    links to the sink, the sink dangles (uniform redistribution) — so
+    rank(sink) > rank(hub_N) > … > rank(hub_1) > every leaf at every
+    power iteration ≥ 1, strictly.  expected_rows is the planted
+    (node, pos) order over sink+hubs."""
+    edges = []
+    leaf = 1000
+    for hub in range(1, PR_N_HUBS + 1):
+        for _ in range(hub):
+            edges.append({"src": leaf, "dst": hub})
+            leaf += 1
+        edges.append({"src": hub, "dst": 0})
+    expected = [{"node": 0, "pos": 1}]
+    expected += [
+        {"node": hub, "pos": 1 + (PR_N_HUBS + 1 - hub)}
+        for hub in range(1, PR_N_HUBS + 1)
+    ]
+    return edges, expected
+
+
+def ensure_pagerank_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, expected = generate_pagerank_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("pr", expected)
+    marker = os.path.join(export_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = tempfile.mkdtemp(prefix="msx_pr_tmp_")
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gw_pr_order.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def pagerank_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gw_pr_order.parquet")
+    return f"SELECT node, pos FROM read_parquet('{p}')"

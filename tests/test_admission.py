@@ -210,3 +210,15 @@ def test_linkfilter_gate_oracle_truth():
     assert by_dom["plain.example.org"] == {
         "/", "/feeds/x.html", "/p/a/comments", "/u/bob", "/anything.html",
     }
+
+
+def test_robots_gate_vectors():
+    """Every planted robots-gate verdict holds through the parser — the
+    same check the driver gate makes, pinned in-suite so a parser change
+    can't silently drift the fixture."""
+    from marginaliasearch_spark.functions.robots import parse_robots_txt
+    from marginaliasearch_spark.sources.gate_web import generate_robots_fixture
+
+    for r in generate_robots_fixture():
+        rules = parse_robots_txt(r["robots_txt"], r["user_agent"])
+        assert rules.is_allowed(r["url"]) == r["exp_allowed"], r

@@ -114,3 +114,71 @@ def test_crawl_emits_edges_and_domain_priority(spark, tmp_path):
     pr = domain_pagerank_priority(edges).collect()
     assert len(pr) > 1
     assert all(r["priority"] > 0 for r in pr)
+
+
+def test_cc_gate_oracle_matches_union_find():
+    """The connected_components gate's recursive-closure oracle equals a
+    union-find ground truth over the planted shape mix — pins the fixture
+    and the oracle SQL independently of the Spark operator."""
+    import duckdb
+
+    from marginaliasearch_spark.sources.gate_web import (
+        cc_oracle_sql,
+        ensure_cc_export,
+        generate_cc_fixture,
+    )
+
+    rows = dict(duckdb.sql(cc_oracle_sql(ensure_cc_export())).fetchall())
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in generate_cc_fixture():
+        ra, rb = find(e["id_a"]), find(e["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+    assert rows == truth
+
+
+def test_pagerank_gate_order_is_strict():
+    """The pagerank gate's planted order is reproduced by an independent
+    numpy power iteration with the same update rule, with a wide margin
+    between adjacent positions (no tie fragility)."""
+    import numpy as np
+
+    from marginaliasearch_spark.sources.gate_web import (
+        PR_N_HUBS,
+        generate_pagerank_fixture,
+    )
+
+    edges, expected = generate_pagerank_fixture()
+    nodes = sorted({e["src"] for e in edges} | {e["dst"] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out: dict = {}
+    for e in edges:
+        out[e["src"]] = out.get(e["src"], 0) + 1
+    rank = np.ones(n)
+    for _ in range(10):
+        contrib = np.zeros(n)
+        dangling = sum(rank[idx[v]] for v in nodes if v not in out)
+        for e in edges:
+            contrib[idx[e["dst"]]] += rank[idx[e["src"]]] / out[e["src"]]
+        rank = (1 - 0.85) + 0.85 * dangling / n + 0.85 * contrib
+    order = sorted(
+        (v for v in nodes if v <= PR_N_HUBS), key=lambda v: (-rank[idx[v]], v)
+    )
+    got = sorted(
+        ({"node": v, "pos": i + 1} for i, v in enumerate(order)),
+        key=lambda r: r["node"],
+    )
+    assert got == sorted(expected, key=lambda r: r["node"])
+    ranked = sorted((rank[idx[v]] for v in order), reverse=True)
+    gaps = [a - b for a, b in zip(ranked, ranked[1:])]
+    assert min(gaps) > 0.1  # no near-ties anywhere in the planted order
