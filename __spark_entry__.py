@@ -1789,7 +1789,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT printf('img-%010d', i) AS image_id,
                    1 AS decode_ok, 1 AS psnr_ok,
                    1 AS caption_ok, 1 AS phash_match,
-                   CASE WHEN i % 3 = 0 THEN 'png' ELSE 'stub' END AS codec
+                   CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        ELSE 'stub' END AS codec
             FROM generate_series(0, 63) t(i)
         """,
         "minhash_dup_pairs": """

@@ -58,9 +58,11 @@ def make_caption(seed: int, i: int) -> str:
 
 def corpus_row(seed: int, i: int) -> dict:
     arr, fmt = make_image(seed, i)
-    # png rows carry REAL PNG bytes (stdlib codec, always decodable);
-    # lossy fmts use the deterministic stand-in container
-    data = encode_image(arr, fmt, backend="real" if fmt == "png" else "stub")
+    # png and jpeg rows carry REAL bytes (stdlib/numpy codecs, always
+    # decodable — jpeg is genuinely lossy DCT so the PSNR>=40dB invariant
+    # executes against real lossy compression); webp uses the
+    # deterministic stand-in container (no from-scratch VP8 decoder)
+    data = encode_image(arr, fmt, backend="real" if fmt in ("png", "jpeg") else "stub")
     # phash of the *decoded* image (FIXTURES.md §1) so stored hash and
     # decode-time verification agree even for lossy formats
     decoded, _ = decode_image(data)
