@@ -134,7 +134,12 @@ def _schedule_offsets(durations: list[tuple[str, int]], permits: int) -> dict[st
     return offsets
 
 
-def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool = False):
+def _make_wave_fn(
+    wave_budget: Optional[int],
+    seed: int,
+    validate_payload: bool = False,
+    transport: Optional[dict] = None,
+):
     """Build the cogrouped wave UDF (runs once per domain per wave).
 
     Fault isolation: an exception while crawling one domain (bad state,
@@ -183,7 +188,20 @@ def _make_wave_fn(wave_budget: Optional[int], seed: int, validate_payload: bool 
             seed_urls=info_d.get("seed_urls") or [],
         )
 
-        web = DomainPagesWeb(domain, info.proto, pages_pdf)
+        if transport is not None and transport.get("kind") == "http":
+            # REAL-SOCKET transport (sources/httpweb.py): the executor's
+            # Python worker opens live HTTP connections instead of reading
+            # the cogrouped pandas slice; pages_pdf degenerates to routing
+            # ballast (pass an empty pages DF to run_waves in this mode).
+            # tests/test_httpweb_engine.py proves the wave outputs are
+            # byte-identical to the pandas transport on the same web.
+            from ..sources.httpweb import HttpWeb
+
+            web = HttpWeb(
+                transport["ports"], host=transport.get("host", "127.0.0.1")
+            )
+        else:
+            web = DomainPagesWeb(domain, info.proto, pages_pdf)
 
         state_json = ds["state_json"]
         if state_json is None or (isinstance(state_json, float)):
@@ -358,6 +376,7 @@ class SparkCrawlEngine:
         validate_inline: bool = False,
         global_request_cap: Optional[int] = None,
         conn_launches_per_wave: Optional[int] = None,
+        transport: Optional[dict] = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -389,6 +408,12 @@ class SparkCrawlEngine:
             )
         self.global_request_cap = global_request_cap
         self.conn_launches_per_wave = conn_launches_per_wave
+        # fetch transport for the wave UDF: None = the cogrouped pandas
+        # slice (hermetic default); {"kind": "http", "ports": {proto:
+        # port}, "host": ...} = real sockets via sources/httpweb.HttpWeb
+        # (executors dial the address — on a cluster this must be a
+        # host reachable from every executor, not 127.0.0.1)
+        self.transport = transport
         # the bucket layout is a property of the PERSISTED run, not the
         # instance: a resume engine constructed with a different n_buckets
         # would re-derive wrong bucket keys and corrupt the frontier COW
@@ -812,7 +837,9 @@ class SparkCrawlEngine:
             # domains run (slot claim above) but never merges them into a
             # top-domain mega-group, so giant top-domains stay spread
             # across tasks
-            wave_fn = _make_wave_fn(wave_budget, self.seed, self.validate_inline)
+            wave_fn = _make_wave_fn(
+                wave_budget, self.seed, self.validate_inline, self.transport
+            )
             out = (
                 left.groupby("domain")
                 .cogroup(pages_active.groupby("domain"))
