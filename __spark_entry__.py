@@ -1501,6 +1501,170 @@ def q_robots_audit(spark, sf_dir):
     )
 
 
+def q_crawl_meta(spark, sf_dir):
+    """Per-domain crawl metrics (plans/crawl.py::crawl_meta — the
+    DomainStateDb CrawlMeta analogue, SURVEY §2.5/§2.11): one fixture
+    domain per counter arm (clean tree, 404 links, robots block, probe
+    error, probe redirect, terminal 429, depth cap), every counter
+    PLANTED at generation (sources/gate_web.py::generate_crawl_meta_fixture)
+    — the engine earns phase/visited_cnt/good_status_count/crawl_changes/
+    error_count through the real probe, robots, retry-ladder and
+    error-budget machinery; the oracle is a scan of declared truth."""
+    import tempfile
+
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_crawl_meta_export,
+        generate_crawl_meta_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+
+    ensure_crawl_meta_export()
+    pages_rows, domains_rows, _ = generate_crawl_meta_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+    out_dir = tempfile.mkdtemp(prefix="msx_q_")
+    engine = SparkCrawlEngine(spark, out_dir, seed=42, n_buckets=2)
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+    meta = engine.crawl_meta()
+    return meta.select(
+        "domain",
+        "phase",
+        F.coalesce("visited_cnt", F.lit(0)).cast("long").alias("visited_cnt"),
+        F.coalesce("good_status_count", F.lit(0)).cast("long").alias("good_status_count"),
+        F.coalesce("crawl_changes", F.lit(0)).cast("long").alias("crawl_changes"),
+        F.coalesce("error_count", F.lit(0)).cast("long").alias("error_count"),
+    )
+
+
+def q_body_cap_clip(spark, sf_dir):
+    """Per-request body budget (WarcRecorder.java:41-45 — 32 MB, clipped
+    before fingerprinting): bodies identical up to the cap but diverging
+    beyond it MUST store the same lsh64; a body differing inside the cap
+    must not.  The fixture plants the equality classes by construction
+    (no hash values in the export) and the engine runs with the cap set
+    to the fixture's test boundary — the session default stays the
+    reference's 32 MB constant."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from marginaliasearch_spark.plans.crawl import SparkCrawlEngine
+    from marginaliasearch_spark.sources.gate_web import (
+        BODYCAP_TEST_CAP,
+        ensure_bodycap_export,
+        generate_bodycap_fixture,
+    )
+    from marginaliasearch_spark.sources.synthetic_web import (
+        normalize_pages_pdf,
+        spark_schemas,
+    )
+
+    ensure_bodycap_export()
+    pages_rows, domains_rows, _ = generate_bodycap_fixture()
+    ps, dms = spark_schemas()
+    pages = spark.createDataFrame(normalize_pages_pdf(pd.DataFrame(pages_rows)), schema=ps)
+    domains = spark.createDataFrame(pd.DataFrame(domains_rows), schema=dms)
+    specs = domains.select("domain", "crawl_depth", "seed_urls")
+    out_dir = tempfile.mkdtemp(prefix="msx_q_")
+    engine = SparkCrawlEngine(
+        spark, out_dir, seed=42, n_buckets=2, body_cap_bytes=BODYCAP_TEST_CAP
+    )
+    engine.init_run(domains, specs)
+    engine.run_waves(pages, wave_budget=None)
+    cd = engine.read_table("crawl_data").filter(F.col("lsh64").isNotNull())
+    return cd.select(
+        "url",
+        F.min("url").over(Window.partitionBy("lsh64")).alias("group_rep"),
+    )
+
+
+_LIVE_ROLLUP_CALLS = [0]
+
+
+def q_live_rollup(spark, sf_dir):
+    """Live-crawl streaming rollup (streaming/livecrawl.py — the
+    SimpleLinkScraper analogue, SURVEY §2.12) through a REAL Structured
+    Streaming run: file source in multiple micro-batches
+    (maxFilesPerTrigger=1), stream-static anti-join against the seen-set,
+    blocklist Column filter, watermarked 5-minute tumbling rollup in
+    APPEND mode.  Every admission/drop is planted (gate_web fixture):
+    seen rows dedup out, .git/ paths block, a row beyond the watermark of
+    its already-finalized window drops, a late-but-within-watermark row
+    counts, and a far-future sentinel finalizes all real windows."""
+    import os as _os
+    import tempfile
+
+    import pandas as pd
+
+    from marginaliasearch_spark.functions.udfs import canonicalize
+    from marginaliasearch_spark.sources.gate_web import (
+        ensure_stream_export,
+        generate_stream_fixture,
+    )
+    from marginaliasearch_spark.streaming.livecrawl import (
+        FEED_ITEM_SCHEMA,
+        ingest_rollup,
+        live_candidates,
+    )
+
+    ensure_stream_export()
+    rows = generate_stream_fixture()
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts_iso"])
+
+    src_dir = tempfile.mkdtemp(prefix="msx_stream_src_")
+    for fno in sorted(pdf["file_no"].unique()):
+        part = pdf[pdf["file_no"] == fno][["ts", "feed_domain", "url"]].copy()
+        part["title"] = "t"
+        path = _os.path.join(src_dir, f"file_{fno:03d}.parquet")
+        # micros, not pandas' nanos — Spark's file source reads TIMESTAMP(US)
+        part.to_parquet(path, coerce_timestamps="us", allow_truncated_timestamps=True)
+        # FileStreamSource batches by modification time: pin an ascending
+        # order so the micro-batch sequence (and thus the watermark
+        # trajectory) is deterministic
+        _os.utime(path, (1000000000 + int(fno), 1000000000 + int(fno)))
+
+    seen_urls = [r["url"] for r in rows if r["seen"]]
+    seen = (
+        spark.createDataFrame([(u,) for u in seen_urls], "url string")
+        .withColumn("c", canonicalize(F.col("url")))
+        .select(F.col("c.url_hash").alias("url_hash"))
+    )
+
+    stream = (
+        spark.readStream.schema(FEED_ITEM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    roll = ingest_rollup(live_candidates(stream, seen), "5 minutes")
+
+    _LIVE_ROLLUP_CALLS[0] += 1
+    qname = f"msx_live_rollup_{_LIVE_ROLLUP_CALLS[0]}"
+    q = (
+        roll.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.col("bucket_start").alias("window_start"),
+        "domain",
+        F.col("n_new_urls").cast("long").alias("n_new_urls"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling (operators/sampling.py): rates
     dimension broadcast onto the corpus, keep iff multiplicative
@@ -1604,6 +1768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_probe": q_content_probe,
         "robots_audit": q_robots_audit,
         "stratified_sample": q_stratified_sample,
+        "crawl_meta": q_crawl_meta,
+        "body_cap_clip": q_body_cap_clip,
+        "live_rollup": q_live_rollup,
         "balanced_sample": q_balanced_sample,
         "dedup_keep_best": q_dedup_keep_best,
     }
@@ -1626,6 +1793,12 @@ def oracle_sql() -> dict[str, str]:
         ensure_robots_export,
         ensure_cc_export,
         ensure_pagerank_export,
+        ensure_crawl_meta_export,
+        ensure_bodycap_export,
+        ensure_stream_export,
+        crawl_meta_oracle_sql,
+        bodycap_oracle_sql,
+        stream_oracle_sql,
         content_probe_oracle_sql,
         linkfilter_oracle_sql,
         robots_oracle_sql,
@@ -1667,6 +1840,9 @@ def oracle_sql() -> dict[str, str]:
     rob_dir = ensure_robots_export()
     cc_dir = ensure_cc_export()
     pr_dir = ensure_pagerank_export()
+    gm_dir = ensure_crawl_meta_export()
+    bc_dir = ensure_bodycap_export()
+    st_dir = ensure_stream_export()
     _qp_gold = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)),
         "tests", "golden", "queryparams_diff.tsv",
@@ -1721,6 +1897,9 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'fr' THEN 0.1 * 4294967296
                     ELSE 0 END) AS BIGINT)
         """,
+        "crawl_meta": crawl_meta_oracle_sql(gm_dir),
+        "body_cap_clip": bodycap_oracle_sql(bc_dir),
+        "live_rollup": stream_oracle_sql(st_dir),
         "balanced_sample": f"""
             SELECT lang, doc_id FROM (
                 SELECT lang, doc_id,

@@ -165,11 +165,16 @@ class DomainCrawlSession:
         web: WebLike,
         seed: int = 42,
         validate_payload: bool = False,
+        body_cap_bytes: int = MAX_BODY_BYTES,
     ):
         self.info = info
         self.web = web
         self.seed = seed
         self.validate_payload = validate_payload
+        # per-request body budget (WarcRecorder.java:41-45 hardcodes 32 MB;
+        # parameterized here so the clip boundary is gate-testable at
+        # fixture scale — the default IS the reference constant)
+        self.body_cap_bytes = body_cap_bytes
         self.edge_domain = EdgeDomain(info.domain)
 
         self.phase = "pending"
@@ -548,7 +553,7 @@ class DomainCrawlSession:
             # Bodies past the 32 MB budget are clipped first, exactly like
             # the reference's streaming truncation (WarcRecorder.java:41-45).
             "lsh64": (
-                _lsh64_signed(page.body_text[:MAX_BODY_BYTES])
+                _lsh64_signed(page.body_text[: self.body_cap_bytes])
                 if page.body_text is not None
                 else None
             ),
@@ -816,7 +821,7 @@ class DomainCrawlSession:
 
                         if is_hash_same(
                             int(doc["lsh64"]),
-                            content_hash(page.body_text[:MAX_BODY_BYTES]),
+                            content_hash(page.body_text[: self.body_cap_bytes]),
                         ):
                             is_same = True
                             outcome = "RECRAWL_RETAINED_LSH"
@@ -934,9 +939,10 @@ class DomainCrawlSession:
         state_json: str,
         frontier_rows: list[dict],
         seed: int = 42,
+        body_cap_bytes: int = MAX_BODY_BYTES,
     ) -> "DomainCrawlSession":
         st = json.loads(state_json)
-        sess = cls(info, web, seed=seed)
+        sess = cls(info, web, seed=seed, body_cap_bytes=body_cap_bytes)
         sess.phase = st["phase"]
         f = sess.frontier
         f.supports_https = st["supports_https"]

@@ -139,6 +139,7 @@ def _make_wave_fn(
     seed: int,
     validate_payload: bool = False,
     transport: Optional[dict] = None,
+    body_cap_bytes: Optional[int] = None,
 ):
     """Build the cogrouped wave UDF (runs once per domain per wave).
 
@@ -231,12 +232,25 @@ def _make_wave_fn(
                 prev = None
             atag_rows = state_pdf[state_pdf.row_kind == "atag"].sort_values("seq")
             atags = atag_rows["url"].tolist() if not atag_rows.empty else None
-            sess = DomainCrawlSession(info, web, seed=seed, validate_payload=validate_payload)
+            sess = DomainCrawlSession(
+                info,
+                web,
+                seed=seed,
+                validate_payload=validate_payload,
+                **({"body_cap_bytes": body_cap_bytes} if body_cap_bytes else {}),
+            )
             phase = sess.setup(prev_crawl=prev, atag_urls=atags)
         else:
             fr = state_pdf[state_pdf.row_kind == "frontier"]
             frontier_rows = fr[["url_hash", "url", "seq", "state"]].to_dict("records")
-            sess = DomainCrawlSession.rehydrate(info, web, state_json, frontier_rows, seed=seed)
+            sess = DomainCrawlSession.rehydrate(
+                info,
+                web,
+                state_json,
+                frontier_rows,
+                seed=seed,
+                **({"body_cap_bytes": body_cap_bytes} if body_cap_bytes else {}),
+            )
             sess.validate_payload = validate_payload
             phase = sess.phase
 
@@ -377,6 +391,7 @@ class SparkCrawlEngine:
         global_request_cap: Optional[int] = None,
         conn_launches_per_wave: Optional[int] = None,
         transport: Optional[dict] = None,
+        body_cap_bytes: Optional[int] = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -414,6 +429,9 @@ class SparkCrawlEngine:
         # (executors dial the address — on a cluster this must be a
         # host reachable from every executor, not 127.0.0.1)
         self.transport = transport
+        # None = the reference's 32 MB constant (session default); a gate
+        # fixture overrides it to test the clip boundary at small scale
+        self.body_cap_bytes = body_cap_bytes
         # the bucket layout is a property of the PERSISTED run, not the
         # instance: a resume engine constructed with a different n_buckets
         # would re-derive wrong bucket keys and corrupt the frontier COW
@@ -838,7 +856,11 @@ class SparkCrawlEngine:
             # top-domain mega-group, so giant top-domains stay spread
             # across tasks
             wave_fn = _make_wave_fn(
-                wave_budget, self.seed, self.validate_inline, self.transport
+                wave_budget,
+                self.seed,
+                self.validate_inline,
+                self.transport,
+                self.body_cap_bytes,
             )
             out = (
                 left.groupby("domain")

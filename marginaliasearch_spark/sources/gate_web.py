@@ -1821,3 +1821,325 @@ def ensure_pagerank_export(export_dir: str | None = None) -> str:
 def pagerank_oracle_sql(export_dir: str) -> str:
     p = os.path.join(export_dir, "gw_pr_order.parquet")
     return f"SELECT node, pos FROM read_parquet('{p}')"
+
+
+# ---------------------------------------------------------------------------
+# Crawl-metrics gate fixture (CrawlMeta / DomainStateDb counters — SURVEY
+# §2.5/§2.11): every per-domain counter the engine reports is PLANTED by
+# construction, one domain per metric arm, so the oracle is a scan of
+# declared truth while the engine must earn the numbers through the real
+# probe / robots / fetch / error-budget machinery.
+#
+# Counter semantics being pinned (ref: CrawlerRetreiver + DomainStateDb):
+#   visited_cnt        — distinct URLs add_visited'd (root + every admitted
+#                        take, INCLUDING 404s; refused-by-robots never count)
+#   good_status_count  — stored crawl_data rows with HTTP 200/206
+#   crawl_changes      — crawler_additions: 200/206 fetches in the BFS loop
+#                        (the sniffed root is recorded but not counted)
+#   error_count        — probe http_errors + terminal 429/-1 (404 is NOT an
+#                        error); phase — done/blocked/redirect/error
+# ---------------------------------------------------------------------------
+
+
+def generate_crawl_meta_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows)."""
+    pages_rows: list[dict] = []
+    domains_rows: list[dict] = []
+    expected_rows: list[dict] = []
+
+    def dom(name, robots=None, probe="ok", depth=10_000):
+        domains_rows.append(
+            {
+                "domain": name, "top_domain": "example.org", "proto": "https",
+                "probe": probe, "robots_txt": robots, "site_kind": "default",
+                "crawl_depth": depth, "seed_urls": [], "sitemap_urls": [],
+                "generator_meta": "", "has_lemmy_config": False,
+            }
+        )
+
+    def page(name, path, status=200, links=(), redirect_to=None,
+             t_status=0, t_count=0):
+        pages_rows.append(
+            {
+                "domain": name, "path": path, "param": None,
+                "url": f"https://{name}{path}", "status": status,
+                "redirect_to": redirect_to, "content_type": "text/html",
+                "image_id": None, "base_href": None, "links": list(links),
+                "feed_links": [], "body_marker": None, "etag": None,
+                "last_modified": None, "body_text": None,
+                "transient_status": t_status, "transient_count": t_count,
+                "retry_after": None,
+            }
+        )
+
+    def expect(name, phase, visited, good, changes, errors):
+        expected_rows.append(
+            {
+                "domain": name, "phase": phase,
+                "visited_cnt": visited, "good_status_count": good,
+                "crawl_changes": changes, "error_count": errors,
+            }
+        )
+
+    # m0: clean 200 tree — every counter at its happy-path value
+    n = "m0.example.org"
+    dom(n)
+    page(n, "/", links=[f"/p{k}.html" for k in range(1, 6)])
+    for k in range(1, 6):
+        page(n, f"/p{k}.html")
+    expect(n, "done", visited=6, good=6, changes=5, errors=0)
+
+    # m1: 404 links are VISITED but neither good nor errors
+    n = "m1.example.org"
+    dom(n)
+    page(n, "/", links=["/p1.html", "/x1.html", "/x2.html", "/x3.html"])
+    page(n, "/p1.html")
+    expect(n, "done", visited=5, good=2, changes=1, errors=0)
+
+    # m2: robots full block — probed ok, then refused at the root
+    n = "m2.example.org"
+    dom(n, robots="User-agent: *\nDisallow: /\n")
+    page(n, "/")
+    expect(n, "blocked", visited=0, good=0, changes=0, errors=0)
+
+    # m3: probe error (no root at either proto -> HEAD 404, GET-retry 404)
+    n = "m3.example.org"
+    dom(n, probe="error")
+    expect(n, "error", visited=0, good=0, changes=0, errors=0)
+
+    # m4: probe cross-domain redirect
+    n = "m4.example.org"
+    dom(n, probe="redirect:www.elsewhere.example.com")
+    page(n, "/", status=301, redirect_to="https://www.elsewhere.example.com/")
+    expect(n, "redirect", visited=0, good=0, changes=0, errors=0)
+
+    # m5: terminal 429 (transient prefix outlasts the retry budget) —
+    # visited, not good, consumes exactly one error
+    n = "m5.example.org"
+    dom(n)
+    page(n, "/", links=["/p1.html", "/throttled.html"])
+    page(n, "/p1.html")
+    page(n, "/throttled.html", t_status=429, t_count=99)
+    expect(n, "done", visited=3, good=2, changes=1, errors=1)
+
+    # m6: crawl_depth stops the BFS at exactly `depth` visited URLs
+    n = "m6.example.org"
+    dom(n, depth=5)
+    page(n, "/", links=[f"/p{k}.html" for k in range(1, 10)])
+    for k in range(1, 10):
+        page(n, f"/p{k}.html")
+    expect(n, "done", visited=5, good=5, changes=4, errors=0)
+
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_crawl_meta_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_crawl_meta_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("gatemeta", expected)
+    marker = os.path.join(export_dir, "_EXPORTED")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = export_dir + ".tmp" + str(os.getpid())
+    os.makedirs(tmp, exist_ok=True)
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "gm_expected.parquet"))
+    with open(os.path.join(tmp, "_EXPORTED"), "w") as f:
+        f.write("ok")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def crawl_meta_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "gm_expected.parquet")
+    return f"""
+        SELECT domain, phase,
+               CAST(visited_cnt AS BIGINT) AS visited_cnt,
+               CAST(good_status_count AS BIGINT) AS good_status_count,
+               CAST(crawl_changes AS BIGINT) AS crawl_changes,
+               CAST(error_count AS BIGINT) AS error_count
+        FROM read_parquet('{p}')
+    """
+
+
+# ---------------------------------------------------------------------------
+# Body-cap gate fixture (32 MB per-request budget, WarcRecorder.java:41-45):
+# the stored lsh64 fingerprint must be computed over the CLIPPED body.  The
+# fixture plants bodies around a small test cap (the cap is the session
+# parameter whose default is the reference's 32 MB constant): bodies that
+# are identical up to the cap but differ beyond it MUST fingerprint equal;
+# a body that differs inside the cap must not.  Truth = equality classes by
+# construction — no hash values appear in the export.
+# ---------------------------------------------------------------------------
+
+BODYCAP_TEST_CAP = 65536
+
+
+def generate_bodycap_fixture():
+    """Returns (pages_rows, domains_rows, expected_rows) with expected
+    (url, group_rep) equality classes."""
+    name = "bc0.example.org"
+    base = ("granite harbor lantern meadow orchard pennant quarry " * 400)
+    x = (base * 5)[: BODYCAP_TEST_CAP + 4321]  # exceeds the cap
+    assert len(x) > BODYCAP_TEST_CAP
+    clipped = x[:BODYCAP_TEST_CAP]
+
+    bodies = {
+        "/a.html": x,                                        # clipped at cap
+        "/b.html": clipped,                                  # exactly the cap
+        "/c.html": clipped + ("ZZTAIL-DIVERGED " * 500),     # differs beyond cap
+        "/d.html": ("velvet wharf yarrow zenith " * 4000)[: BODYCAP_TEST_CAP],
+    }
+    groups = {
+        "/a.html": "/a.html",
+        "/b.html": "/a.html",
+        "/c.html": "/a.html",
+        "/d.html": "/d.html",
+    }
+
+    domains_rows = [{
+        "domain": name, "top_domain": "example.org", "proto": "https",
+        "probe": "ok", "robots_txt": None, "site_kind": "default",
+        "crawl_depth": 10_000, "seed_urls": [], "sitemap_urls": [],
+        "generator_meta": "", "has_lemmy_config": False,
+    }]
+    pages_rows = [{
+        "domain": name, "path": "/", "param": None,
+        "url": f"https://{name}/", "status": 200, "redirect_to": None,
+        "content_type": "text/html", "image_id": None, "base_href": None,
+        "links": sorted(bodies), "feed_links": [], "body_marker": None,
+        "etag": None, "last_modified": None, "body_text": None,
+        "transient_status": 0, "transient_count": 0, "retry_after": None,
+    }]
+    expected_rows = []
+    for path, body in bodies.items():
+        pages_rows.append({
+            "domain": name, "path": path, "param": None,
+            "url": f"https://{name}{path}", "status": 200,
+            "redirect_to": None, "content_type": "text/html",
+            "image_id": None, "base_href": None, "links": [],
+            "feed_links": [], "body_marker": None, "etag": None,
+            "last_modified": None, "body_text": body,
+            "transient_status": 0, "transient_count": 0, "retry_after": None,
+        })
+        expected_rows.append({
+            "url": f"https://{name}{path}",
+            "group_rep": f"https://{name}{groups[path]}",
+        })
+    return pages_rows, domains_rows, expected_rows
+
+
+def ensure_bodycap_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    _, _, expected = generate_bodycap_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("gatebodycap", expected)
+    marker = os.path.join(export_dir, "_EXPORTED")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = export_dir + ".tmp" + str(os.getpid())
+    os.makedirs(tmp, exist_ok=True)
+    pd.DataFrame(expected).to_parquet(os.path.join(tmp, "bc_expected.parquet"))
+    with open(os.path.join(tmp, "_EXPORTED"), "w") as f:
+        f.write("ok")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def bodycap_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "bc_expected.parquet")
+    return f"SELECT url, group_rep FROM read_parquet('{p}')"
+
+
+# ---------------------------------------------------------------------------
+# Live-crawl streaming gate fixture (SimpleLinkScraper analogue — SURVEY
+# §2.12): feed items over multiple micro-batches through the REAL
+# Structured Streaming pipeline (stream-static anti-join vs the seen-set,
+# blocklist filter, watermarked 5-minute tumbling rollup in append mode).
+# Every admission decision is planted: `seen` rows are also placed in the
+# static seen-set, `blocked` rows carry a .git/ path, and the `sentinel`
+# rows exist only to push the final watermark past every real window so
+# append mode emits them all.  Late data rides the watermark contract
+# Spark actually documents — the watermark PERMITS dropping but does not
+# mandate it: a row older than the current watermark whose window was
+# never previously finalized still lands in state and its window emits
+# EXACTLY ONCE when the watermark passes (`late_behind_watermark` row);
+# with the fixture's pinned micro-batch order the emission set is fully
+# deterministic, which is what the oracle declares.
+# ---------------------------------------------------------------------------
+
+
+def generate_stream_fixture():
+    """Returns rows: (file_no, ts_iso, domain, url, seen, blocked,
+    late_behind_watermark, sentinel)."""
+    rows: list[dict] = []
+
+    def add(file_no, hh, mm, dom_i, slug, seen=False, blocked=False,
+            late=False, sentinel=False):
+        domain = f"s{dom_i}.example.com"
+        path = f"/repo/.git/{slug}" if blocked else f"/{slug}.html"
+        rows.append({
+            "file_no": file_no,
+            "ts_iso": f"2026-03-01T{hh:02d}:{mm:02d}:00",
+            "feed_domain": domain,
+            "url": f"https://{domain}{path}",
+            "seen": seen, "blocked": blocked,
+            "late_behind_watermark": late, "sentinel": sentinel,
+        })
+
+    # file 0: in-order rows 10:00-10:58, three domains, some seen/blocked
+    k = 0
+    for mm in range(0, 59, 4):
+        add(0, 10, mm, dom_i=k % 2, slug=f"f0r{k}")
+        k += 1
+    add(0, 10, 7, 0, "dup-seen-a", seen=True)
+    add(0, 10, 23, 1, "dup-seen-b", seen=True)
+    add(0, 10, 31, 0, "gitconfig", blocked=True)
+
+    # file 1: 11:00-11:20 plus one row far behind the in-effect watermark
+    # (08:12 vs watermark 10:46 after file 0) — its window [08:10, 08:15)
+    # was never finalized, so it lands in state and emits exactly once —
+    # and one mildly-late row (10:52 -> window [10:50, 10:55) still open)
+    for j, mm in enumerate(range(0, 21, 5)):
+        add(1, 11, mm, dom_i=j % 2, slug=f"f1r{j}")
+    add(1, 8, 12, 0, "late-behind-watermark", late=True)
+    add(1, 10, 52, 1, "late-but-kept")
+
+    # file 2: sentinel far in the future — finalizes every real window;
+    # its own window is never emitted (excluded from the oracle)
+    add(2, 23, 0, 0, "sentinel", sentinel=True)
+    return rows
+
+
+def ensure_stream_export(export_dir: str | None = None) -> str:
+    import pandas as pd
+
+    rows = generate_stream_fixture()
+    if export_dir is None:
+        export_dir = _fingerprinted_dir("gatestream", rows)
+    marker = os.path.join(export_dir, "_EXPORTED")
+    if os.path.exists(marker):
+        return export_dir
+    tmp = export_dir + ".tmp" + str(os.getpid())
+    os.makedirs(tmp, exist_ok=True)
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts_iso"])
+    pdf.to_parquet(os.path.join(tmp, "stream_expected.parquet"))
+    with open(os.path.join(tmp, "_EXPORTED"), "w") as f:
+        f.write("ok")
+    _commit_export_dir(tmp, export_dir, marker)
+    return export_dir
+
+
+def stream_oracle_sql(export_dir: str) -> str:
+    p = os.path.join(export_dir, "stream_expected.parquet")
+    return f"""
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               feed_domain AS domain,
+               COUNT(*) AS n_new_urls
+        FROM read_parquet('{p}')
+        WHERE NOT seen AND NOT blocked AND NOT sentinel
+        GROUP BY 1, 2
+    """
