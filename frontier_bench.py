@@ -129,6 +129,29 @@ def main() -> None:
 
     unpersist_transients()  # release the probe intermediate (result counted)
 
+    # cuckoo representation (north rule: "Bloom/cuckoo"): lower FPR per
+    # bit (fewer maybe-positives reach the exact check) + deletion; the
+    # batch-vectorized placement also out-builds Bloom's 7-probe
+    # bitwise_or.at scatter at 10^7 (measured ~6x)
+    from marginaliasearch_spark.operators.cuckoo import (
+        build_cuckoo_per_bucket,
+        cuckoo_anti_join,
+    )
+    from marginaliasearch_spark.operators.cuckoo import (
+        unpersist_transients as cuckoo_unpersist,
+    )
+
+    t0 = time.perf_counter()
+    cfilters = build_cuckoo_per_bucket(seen).cache()
+    cfilters.count()
+    t_cbuild = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cuckoo_new = cuckoo_anti_join(cands, seen, filters=cfilters).count()
+    t_cuckoo = time.perf_counter() - t0
+    assert cuckoo_new == exact_new, (cuckoo_new, exact_new)
+    cuckoo_unpersist()
+
     # politeness wave selection: first 5 queued URLs per domain
     t0 = time.perf_counter()
     w = Window.partitionBy("domain").orderBy("seq")
@@ -148,6 +171,9 @@ def main() -> None:
         "bloom_antijoin_sec": round(t_bloom, 2),
         "dedup_rows_per_sec_exact": round(n_cands / t_exact, 0),
         "dedup_rows_per_sec_bloom": round(n_cands / t_bloom, 0),
+        "cuckoo_build_sec": round(t_cbuild, 2),
+        "cuckoo_antijoin_sec": round(t_cuckoo, 2),
+        "dedup_rows_per_sec_cuckoo": round(n_cands / t_cuckoo, 0),
         "new_urls": exact_new,
         "wave_selection_sec": round(t_wave, 2),
         "wave_rows": n_wave,
@@ -165,6 +191,11 @@ def main() -> None:
         f"- Bloom build (once, then incremental OR per snapshot): {t_build:.1f}s\n"
         f"- Bloom-cogrouped anti-join (steady-state wave cost; seen scanned, never "
         f"shuffled): {t_bloom:.1f}s ({n_cands / t_bloom:,.0f} URLs deduped/s; result identical)\n"
+        f"- Cuckoo build (16-bit fp, 4-slot buckets; once, then incremental "
+        f"inserts per snapshot): {t_cbuild:.1f}s\n"
+        f"- Cuckoo-cogrouped anti-join (FPR ~0.01% vs Bloom ~0.3% -> ~25x "
+        f"fewer maybe-positives to the exact check; supports forget()): "
+        f"{t_cuckoo:.1f}s ({n_cands / t_cuckoo:,.0f} URLs deduped/s; result identical)\n"
         f"- politeness wave selection (top-5 per domain window): {t_wave:.1f}s\n"
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:

@@ -10,9 +10,14 @@ partitioned Bloom/cuckoo filter keyed by canonicalized-URL hash").
 Design for 10^10 keys:
 - the seen-set is an append-only parquet table bucketed by
   pmod(url_hash, n_buckets) — a snapshot commit appends only the NEW keys;
-- one Bloom filter per bucket, FIXED m_bits, persisted as a table and
-  updated incrementally per snapshot by OR-ing in only the new keys'
-  bits (operators/bloom.py) — the historical seen-set is never rescanned;
+- one approximate filter per bucket, persisted as a table and updated
+  incrementally per snapshot from only the NEW keys — the historical
+  seen-set is never rescanned.  Two representations, selected by
+  ``filter_kind`` (north rule names both): "bloom" (operators/bloom.py,
+  FIXED m_bits, union = bitwise OR, ~12 bits/key at FPR ~0.3%) and
+  "cuckoo" (operators/cuckoo.py, mutable fingerprint table, ~19 bits/key
+  at FPR ~0.01% — an order of magnitude less exact-check traffic — plus
+  DELETION support for seen-set expiry, which Bloom cannot do);
 - admission = bloom_anti_join: Bloom negatives (the overwhelming majority
   of genuinely-new URLs) never touch the seen-set; only maybe-positives
   hit the per-bucket exact check.  No filter bytes pass through the driver.
@@ -36,6 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.bloom import bloom_anti_join, bloom_or_new_keys, build_bloom_per_bucket
+from ..operators.cuckoo import (
+    build_cuckoo_per_bucket,
+    cuckoo_anti_join,
+    cuckoo_delete_keys,
+    cuckoo_insert_new_keys,
+)
 
 
 class FrontierDedup:
@@ -47,13 +58,19 @@ class FrontierDedup:
         m_bits_per_bucket: int = 1 << 23,
         key_col: str = "url_hash",
         max_seen_paths: int = 16,
+        filter_kind: str = "bloom",
+        cuckoo_m_buckets: int = 1 << 18,
     ):
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"filter_kind must be bloom|cuckoo, got {filter_kind!r}")
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.m_bits = m_bits_per_bucket
         self.key_col = key_col
         self.max_seen_paths = max_seen_paths
+        self.filter_kind = filter_kind
+        self.cuckoo_m_buckets = cuckoo_m_buckets
         os.makedirs(root, exist_ok=True)
 
     # -- snapshot manifest -------------------------------------------------
@@ -78,14 +95,16 @@ class FrontierDedup:
                 "blooms_path": None,
                 "n_buckets": self.n_buckets,
                 "m_bits": self.m_bits,
+                "filter_kind": self.filter_kind,
             }
         with open(self._manifest_path(n)) as f:
             m = json.load(f)
-        # the bucket layout is a property of the PERSISTED table, not the
-        # instance: adopt it, or probes would hit the wrong buckets' filters
-        # and re-admit seen URLs (Bloom false negatives by misconfiguration)
+        # the bucket layout (and filter representation) is a property of
+        # the PERSISTED table, not the instance: adopt it, or probes would
+        # hit the wrong buckets' filters and re-admit seen URLs
         self.n_buckets = int(m.get("n_buckets", self.n_buckets))
         self.m_bits = int(m.get("m_bits", self.m_bits))
+        self.filter_kind = m.get("filter_kind", self.filter_kind)
         return m
 
     def seen(self) -> Optional[DataFrame]:
@@ -117,6 +136,8 @@ class FrontierDedup:
         blooms = self.blooms()
         if seen is None:
             accepted = cand
+        elif self.filter_kind == "cuckoo":
+            accepted = cuckoo_anti_join(cand, seen, key_col=self.key_col, filters=blooms)
         else:
             accepted = bloom_anti_join(cand, seen, key_col=self.key_col, blooms=blooms)
 
@@ -125,8 +146,10 @@ class FrontierDedup:
         accepted_w = self.spark.read.parquet(apath)
 
         from ..operators.bloom import unpersist_transients
+        from ..operators.cuckoo import unpersist_transients as cuckoo_unpersist
 
         unpersist_transients()  # the probe intermediate is materialized now
+        cuckoo_unpersist()
 
         # steady-state short-circuit: an ingest that admits nothing must
         # not grow the table — no new seen path, no bloom rewrite, no new
@@ -138,7 +161,19 @@ class FrontierDedup:
 
         new_keys = accepted_w.select("bucket", self.key_col)
         bpath = os.path.join(self.root, f"blooms-{snap:06d}")
-        if blooms is None:
+        if self.filter_kind == "cuckoo":
+            if blooms is None:
+                nb = build_cuckoo_per_bucket(
+                    new_keys, key_col=self.key_col, m_buckets=self.cuckoo_m_buckets
+                )
+            else:
+                nb = cuckoo_insert_new_keys(
+                    blooms,
+                    new_keys,
+                    key_col=self.key_col,
+                    default_m_buckets=self.cuckoo_m_buckets,
+                )
+        elif blooms is None:
             nb = build_bloom_per_bucket(new_keys, key_col=self.key_col, m_bits=self.m_bits)
         else:
             nb = bloom_or_new_keys(
@@ -155,6 +190,48 @@ class FrontierDedup:
         # scan.  Track the worst bucket's estimated fill in the manifest and
         # warn so operators rebuild at larger m_bits before it matters.
         from ..operators.bloom import _K
+
+        if self.filter_kind == "cuckoo":
+            # cuckoo fill = n_keys / (m_buckets * SLOTS); past the design
+            # load the stash grows and inserts slow — same operator action
+            # (rebuild larger), different arithmetic than the Bloom curve
+            from ..operators.cuckoo import SLOTS
+
+            fill_row = (
+                self.spark.read.parquet(bpath)
+                .select(
+                    F.max(
+                        F.col("n_keys") / (F.col("m_buckets") * F.lit(float(SLOTS)))
+                    ).alias("max_fill")
+                )
+                .collect()[0]
+            )
+            max_fill = float(fill_row["max_fill"] or 0.0)
+            if max_fill > 0.84:
+                import warnings
+
+                warnings.warn(
+                    f"FrontierDedup cuckoo filter load ≈ {max_fill:.0%} (> 84%): "
+                    f"inserts will stash-overflow; rebuild with larger "
+                    f"cuckoo_m_buckets (current {self.cuckoo_m_buckets}).",
+                    stacklevel=2,
+                )
+            manifest = {
+                "snapshot": snap,
+                "seen_paths": m["seen_paths"] + [spath],
+                "blooms_path": bpath,
+                "n_buckets": self.n_buckets,
+                "m_bits": self.m_bits,
+                "filter_kind": self.filter_kind,
+                "max_fill_est": round(max_fill, 4),
+            }
+            tmp = self._manifest_path(snap) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path(snap))
+            if len(manifest["seen_paths"]) > self.max_seen_paths:
+                self.compact_seen()
+            return accepted_w.drop("bucket")
 
         fill_row = (
             self.spark.read.parquet(bpath)
@@ -183,6 +260,7 @@ class FrontierDedup:
             "blooms_path": bpath,
             "n_buckets": self.n_buckets,
             "m_bits": self.m_bits,
+            "filter_kind": self.filter_kind,
             "max_fill_est": round(max_fill, 4),
         }
         tmp = self._manifest_path(snap) + ".tmp"
@@ -196,6 +274,63 @@ class FrontierDedup:
         if len(manifest["seen_paths"]) > self.max_seen_paths:
             self.compact_seen()
         return accepted_w.drop("bucket")
+
+    def forget(self, removed: DataFrame) -> int:
+        """Expire keys from the seen-set — the operation that justifies the
+        cuckoo representation (Bloom cannot delete; its only expiry path is
+        a full rebuild).  Rewrites the seen table without the removed keys,
+        deletes their fingerprints from the per-bucket filters, and commits
+        both as one snapshot.  Returns the number of keys actually
+        forgotten.  Use case: 404-memo retirement and domain retraction,
+        so a future recrawl re-admits the URL instead of skipping it."""
+        if self.filter_kind != "cuckoo":
+            raise ValueError(
+                "forget() requires filter_kind='cuckoo' (Bloom filters "
+                "cannot delete; rebuild instead)"
+            )
+        m = self._load()
+        if not m["seen_paths"]:
+            return 0
+        snap = m["snapshot"] + 1
+        rm = removed.withColumn(
+            "bucket", F.pmod(F.col(self.key_col), F.lit(self.n_buckets)).cast("int")
+        ).dropDuplicates([self.key_col])
+
+        seen = self.seen()
+        # only keys actually present may be deleted from the filters
+        # (standard cuckoo contract: deleting a never-inserted key could
+        # evict a same-fingerprint twin)
+        present = rm.join(
+            seen.select(self.key_col).distinct(), self.key_col, "left_semi"
+        )
+        ppath = os.path.join(self.root, f"forgotten-{snap:06d}")
+        present.write.mode("overwrite").parquet(ppath)
+        present_w = self.spark.read.parquet(ppath)
+        n_forgotten = present_w.count()
+        if n_forgotten == 0:
+            return 0
+
+        spath = os.path.join(self.root, f"seen-forget-{snap:06d}")
+        (
+            seen.join(present_w.select(self.key_col), self.key_col, "left_anti")
+            .repartition(self.n_buckets, "bucket")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+        bpath = os.path.join(self.root, f"blooms-{snap:06d}")
+        cuckoo_delete_keys(self.blooms(), present_w, key_col=self.key_col).write.mode(
+            "overwrite"
+        ).parquet(bpath)
+
+        manifest = dict(
+            m, snapshot=snap, seen_paths=[spath], blooms_path=bpath,
+            filter_kind=self.filter_kind,
+        )
+        tmp = self._manifest_path(snap) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(snap))
+        return n_forgotten
 
     def compact_seen(self) -> Optional[str]:
         """Fold all live seen paths into one (Iceberg rewrite_data_files
