@@ -565,15 +565,17 @@ class DomainCrawlSession:
             from ..functions.imagecodec import (
                 LOSSY_FORMATS,
                 decode_image,
-                encode_image,
                 phash64,
                 psnr,
             )
-            from ..sources.corpus import make_image
+            from ..sources.corpus import encode_corpus_image, make_image
 
             idx = int(page.image_id.split("-")[1])
             src, fmt = make_image(self.seed, idx)
-            arr, fmt2 = decode_image(encode_image(src, fmt))
+            # same backend policy as the corpus generator — the stored
+            # phash contract requires decoding the SAME bytes the corpus
+            # carries (real jpeg/png, stub webp)
+            arr, fmt2 = decode_image(encode_corpus_image(src, fmt))
             p = psnr(src, arr)
             rec["phash"] = phash64(arr)
             rec["psnr_ok"] = bool(p >= 40.0) if fmt2 in LOSSY_FORMATS else True

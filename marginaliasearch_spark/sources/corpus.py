@@ -56,13 +56,19 @@ def make_caption(seed: int, i: int) -> str:
     return " ".join(_CAPTION_TOKENS[t] for t in toks)
 
 
+def encode_corpus_image(arr: np.ndarray, fmt: str) -> bytes:
+    """The corpus backend policy, shared with the session's inline
+    validation (oracle/session.py::_record): png and jpeg rows carry REAL
+    bytes (stdlib/numpy codecs, always decodable — jpeg is genuinely
+    lossy DCT so the PSNR>=40dB invariant executes against real lossy
+    compression); webp uses the deterministic stand-in container (no
+    from-scratch VP8 decoder)."""
+    return encode_image(arr, fmt, backend="real" if fmt in ("png", "jpeg") else "stub")
+
+
 def corpus_row(seed: int, i: int) -> dict:
     arr, fmt = make_image(seed, i)
-    # png and jpeg rows carry REAL bytes (stdlib/numpy codecs, always
-    # decodable — jpeg is genuinely lossy DCT so the PSNR>=40dB invariant
-    # executes against real lossy compression); webp uses the
-    # deterministic stand-in container (no from-scratch VP8 decoder)
-    data = encode_image(arr, fmt, backend="real" if fmt in ("png", "jpeg") else "stub")
+    data = encode_corpus_image(arr, fmt)
     # phash of the *decoded* image (FIXTURES.md §1) so stored hash and
     # decode-time verification agree even for lossy formats
     decoded, _ = decode_image(data)

@@ -204,14 +204,15 @@ def test_png_crc_corruption_detected():
 
 
 def test_corpus_png_rows_ride_real_path():
-    """generate_corpus: every i%3==0 row is a REAL PNG payload and its
-    stored phash matches the real-decode phash."""
+    """generate_corpus: i%3==0 rows are REAL PNG, i%3==1 rows REAL JPEG
+    (round 5 — genuinely lossy), i%3==2 the webp stand-in; every stored
+    phash matches the real-decode phash."""
     from marginaliasearch_spark.functions.imagecodec import phash64
     from marginaliasearch_spark.sources.corpus import generate_corpus
 
     pdf = generate_corpus(42, 12)
     for i, row in pdf.iterrows():
-        expect = "png" if i % 3 == 0 else "stub"
+        expect = ("png", "jpeg", "stub")[i % 3]
         assert image_backend_of(row["bytes"]) == expect
         dec, _ = decode_image(row["bytes"])
         assert phash64(dec) == row["phash"]
