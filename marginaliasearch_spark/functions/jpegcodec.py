@@ -573,72 +573,78 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps = None
 
     n = len(data)
-    while pos < n:
-        if data[pos] != 0xFF:
-            raise ValueError(f"marker sync lost at {pos}")
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xD8:  # stray SOI
-            continue
-        if marker == 0xD9:  # EOI
-            break
-        if 0xD0 <= marker <= 0xD7:  # RSTn outside scan — ignore
-            continue
-        if marker == 0x01:  # TEM
-            continue
-        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
-        seg = data[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT — may hold several tables
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                if pq == 0:
-                    tab = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
-                    p += 64
-                else:  # 16-bit precision
-                    tab = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
-                    p += 128
-                nat = np.empty(64, dtype=np.int32)
-                nat[ZIGZAG] = tab  # stored in zigzag order
-                qtables[tq] = nat.reshape(8, 8)
-        elif marker == 0xC4:  # DHT — may hold several tables
-            p = 0
-            while p < len(seg):
-                klass, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                nvals = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + nvals])
-                htables[(klass, tid)] = _HuffTable(bits, vals)
-                p += 17 + nvals
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended sequential
-            prec = seg[0]
-            if prec != 8:
-                raise ValueError(f"unsupported precision {prec}")
-            fh, fw = struct.unpack(">HH", seg[1:5])
-            ncomp = seg[5]
-            comps = []
-            for ci in range(ncomp):
-                cid = seg[6 + ci * 3]
-                hv = seg[7 + ci * 3]
-                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + ci * 3]))
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
-        elif marker == 0xDA:  # SOS
-            ns = seg[0]
-            scan_comps = []
-            for ci in range(ns):
-                cid = seg[1 + ci * 2]
-                tabs = seg[2 + ci * 2]
-                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
-            scan_bytes = data[pos + seglen :]
+    try:
+        while pos < n:
+            if data[pos] != 0xFF:
+                raise ValueError(f"marker sync lost at {pos}")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD8:  # stray SOI
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if 0xD0 <= marker <= 0xD7:  # RSTn outside scan — ignore
+                continue
+            if marker == 0x01:  # TEM
+                continue
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            seg = data[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT — may hold several tables
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                    p += 1
+                    if pq == 0:
+                        tab = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                        p += 64
+                    else:  # 16-bit precision
+                        tab = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                        p += 128
+                    nat = np.empty(64, dtype=np.int32)
+                    nat[ZIGZAG] = tab  # stored in zigzag order
+                    qtables[tq] = nat.reshape(8, 8)
+            elif marker == 0xC4:  # DHT — may hold several tables
+                p = 0
+                while p < len(seg):
+                    klass, tid = seg[p] >> 4, seg[p] & 0x0F
+                    bits = list(seg[p + 1 : p + 17])
+                    nvals = sum(bits)
+                    vals = list(seg[p + 17 : p + 17 + nvals])
+                    htables[(klass, tid)] = _HuffTable(bits, vals)
+                    p += 17 + nvals
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended sequential
+                prec = seg[0]
+                if prec != 8:
+                    raise ValueError(f"unsupported precision {prec}")
+                fh, fw = struct.unpack(">HH", seg[1:5])
+                ncomp = seg[5]
+                comps = []
+                for ci in range(ncomp):
+                    cid = seg[6 + ci * 3]
+                    hv = seg[7 + ci * 3]
+                    comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + ci * 3]))
+                frame = (fh, fw, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan_comps = []
+                for ci in range(ns):
+                    cid = seg[1 + ci * 2]
+                    tabs = seg[2 + ci * 2]
+                    scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+                scan_bytes = data[pos + seglen :]
+                pos += seglen
+                break
+            # APPn / COM / others: skip
             pos += seglen
-            break
-        # APPn / COM / others: skip
-        pos += seglen
+
+    except (IndexError, struct.error) as ex:
+        # corrupted segment lengths / truncated tables surface as a
+        # typed decode error, never a raw indexing crash
+        raise ValueError(f"malformed JPEG header: {ex}")
 
     if frame is None or scan_bytes is None:
         raise ValueError("missing SOF/SOS")

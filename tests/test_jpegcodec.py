@@ -201,3 +201,48 @@ def test_dispatch_and_corpus_integration():
     assert len(jpeg_rows) == 2
     for _, r in jpeg_rows.iterrows():
         assert image_backend_of(bytes(r["bytes"])) == "jpeg"
+
+
+def test_decoder_never_crashes_on_fuzzed_bytes():
+    """Byte-level fuzz: random mutations of a valid stream (and pure
+    garbage with a JPEG magic) must raise ValueError — never segfault,
+    hang, or return silently wrong shapes."""
+    rng = np.random.default_rng(17)
+    base = bytearray(encode_jpeg(smooth_image(32, 48), 90))
+    for trial in range(60):
+        data = bytearray(base)
+        n_mut = int(rng.integers(1, 8))
+        for _ in range(n_mut):
+            pos = int(rng.integers(2, len(data)))
+            data[pos] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(data))
+            # a mutation that survives decode must still produce a
+            # plausibly-shaped image
+            assert out.ndim == 3 and out.shape[2] == 3
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass  # the expected failure mode
+    # pure garbage behind the magic
+    for trial in range(20):
+        junk = b"\xff\xd8\xff" + bytes(rng.integers(0, 256, 200, dtype=np.uint8))
+        try:
+            decode_jpeg(junk)
+        except ValueError:
+            pass
+
+
+def test_decoder_rejects_oversize_declared_dims():
+    """A tampered SOF declaring huge dimensions must fail fast (truncated
+    scan) instead of allocating/looping on 2^32 MCUs."""
+    import struct as _struct
+    import time as _time
+
+    data = bytearray(encode_jpeg(smooth_image(16, 16), 90))
+    idx = data.find(b"\xff\xc0")
+    # SOF payload: len(2) precision(1) H(2) W(2)
+    data[idx + 5 : idx + 9] = _struct.pack(">HH", 60000, 60000)
+    t0 = _time.monotonic()
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+    assert _time.monotonic() - t0 < 30.0
