@@ -46,6 +46,13 @@ def main() -> None:
         "--conn-launches-per-wave", type=int, default=None,
         help="at most C domains may start crawling per wave (the "
         "reference's connection-launch stagger; niceness-only)")
+    ap.add_argument(
+        "--transport", choices=["pandas", "http"], default="pandas",
+        help="'http' serves the generated web over localhost sockets "
+        "(sources/httpweb.SyntheticWebServer) and the wave UDF's Python "
+        "workers fetch it with real HTTP connections — the live-fetch "
+        "launch shape; on a multi-node cluster the server host must be "
+        "reachable from every executor")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,10 +74,22 @@ def main() -> None:
     domains = spark.createDataFrame(domains_pdf, schema=ds)
     specs = domains.select("domain", "crawl_depth", "seed_urls")
 
+    server = None
+    transport = None
+    if args.transport == "http":
+        from marginaliasearch_spark.sources.httpweb import SyntheticWebServer
+
+        server = SyntheticWebServer(web)
+        transport = {"kind": "http", "ports": server.ports}
+        # live mode: page payloads arrive over sockets; the pages DF is
+        # routing ballast only
+        pages = spark.createDataFrame([], schema=ps)
+
     engine = SparkCrawlEngine(
         spark, args.out, seed=args.seed, validate_inline=args.validate_inline,
         global_request_cap=args.global_request_cap,
         conn_launches_per_wave=args.conn_launches_per_wave,
+        transport=transport,
     )
     t0 = time.perf_counter()
     engine.init_run(domains, specs)
@@ -99,9 +118,12 @@ def main() -> None:
                 "urls_seen": seen,
                 "wall_sec": round(wall, 2),
                 "urls_per_sec": round(visited / wall, 2),
+                "transport": args.transport,
             }
         )
     )
+    if server is not None:
+        server.close()
     spark.stop()
 
 
