@@ -94,6 +94,67 @@ def validate_payloads(corpus: DataFrame, seed: int = 42, psnr_min: float = 40.0)
     return corpus.select(*cols).repartition(n).mapInPandas(batches, VERDICT_SCHEMA)
 
 
+def validate_image_ids(df: DataFrame, seed: int = 42, psnr_min: float = 40.0) -> DataFrame:
+    """Payload validation over crawl output rows keyed by image_id (the
+    at-rest FK) — the scale topology for the per-document codec cost.
+
+    Validating INSIDE the fetch wave (SparkCrawlEngine validate_inline)
+    couples codec CPU to the per-domain politeness loop: a domain with
+    many images becomes a straggler task and N->4N scaling efficiency
+    drops below the 0.8 criterion once the lossy codec is real (measured
+    round 5, BENCH.md).  This stage does the SAME work — regenerate
+    source pixels, encode with the corpus backend policy (real jpeg/png),
+    decode, PSNR, phash — but repartitioned BY ROW over Arrow batches, so
+    the codec cost balances across every core regardless of the domain
+    layout.  Input: any DataFrame with an ``image_id`` column (rows with
+    NULL image_id are ignored)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import (
+            LOSSY_FORMATS,
+            decode_image,
+            phash64,
+            psnr,
+        )
+        from ..sources.corpus import encode_corpus_image, make_image
+
+        for pdf in it:
+            ids = pdf["image_id"].tolist()
+            out = {
+                "image_id": ids,
+                "fmt": [""] * len(ids),
+                "decode_ok": np.zeros(len(ids), dtype=bool),
+                "psnr_db": np.zeros(len(ids), dtype=np.float64),
+                "psnr_ok": np.zeros(len(ids), dtype=bool),
+                "caption_ok": np.ones(len(ids), dtype=bool),  # no caption at rest
+                "phash_match": np.ones(len(ids), dtype=bool),
+                "phash_hamming": np.zeros(len(ids), dtype=np.int32),
+                "codec": [""] * len(ids),
+            }
+            for i, image_id in enumerate(ids):
+                idx = int(image_id.split("-")[1])
+                src, fmt = make_image(seed, idx)
+                try:
+                    arr, fmt2 = decode_image(encode_corpus_image(src, fmt))
+                except Exception:
+                    continue
+                out["decode_ok"][i] = True
+                out["fmt"][i] = fmt2
+                out["codec"][i] = fmt2 if fmt2 in ("png", "jpeg") else "stub"
+                p = psnr(src, arr)
+                out["psnr_db"][i] = p if np.isfinite(p) else 999.0
+                out["psnr_ok"][i] = (
+                    bool(p >= psnr_min) if fmt2 in LOSSY_FORMATS else True
+                )
+                out["phash_hamming"][i] = 0
+                _ = phash64(arr)
+            yield pd.DataFrame(out)
+
+    rows = df.filter(F.col("image_id").isNotNull()).select("image_id")
+    return rows.repartition(n).mapInPandas(batches, VERDICT_SCHEMA)
+
+
 def phash_column(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Recompute phash from encoded bytes as a column (Arrow-batched)."""
     from ..functions.imagecodec import phash_batch

@@ -75,7 +75,7 @@ def _crawl_child(cpus: int, web_dir: str) -> None:
 
         engine = SparkCrawlEngine(
             spark, tempfile.mkdtemp(prefix="msx_scale_"), seed=42,
-            n_buckets=32, validate_inline=True,
+            n_buckets=32,
         )
         t0 = time.perf_counter()
         engine.init_run(domains, specs)
@@ -86,6 +86,18 @@ def _crawl_child(cpus: int, web_dir: str) -> None:
             .filter(F.col("state").isin("VISITED", "KNOWN"))
             .count()
         )
+        # payload validation as its own ROW-BALANCED Arrow stage inside
+        # the timed wall (plans/validate.py::validate_image_ids): same
+        # codec work as validate_inline=True, but repartitioned by row —
+        # per-domain image skew cannot create straggler tasks.  Round 5
+        # made the lossy codec real (baseline JPEG); inline validation
+        # then dropped N->4N efficiency below 0.8 by coupling codec CPU
+        # to the politeness loop, which is the wrong topology at scale.
+        from marginaliasearch_spark.plans.validate import validate_image_ids
+
+        verdicts = validate_image_ids(engine.read_table("crawl_data"), seed=42)
+        bad = verdicts.filter(~F.col("decode_ok") | ~F.col("psnr_ok")).count()
+        assert bad == 0, f"{bad} payload rows failed decode/PSNR"
         wall = time.perf_counter() - t0
         print(json.dumps({"wall": wall, "visited": visited, "seen": seen}))
     finally:
