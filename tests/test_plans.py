@@ -71,3 +71,31 @@ def test_q1_partial_aggregation(spark):
     # map-side partial + final agg = two HashAggregate operators
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_cuckoo_anti_join_plan(spark):
+    """Cuckoo admission (round 5): the exact-check joins on the small
+    maybe-positive key set must be broadcast, the per-bucket filter
+    build/probe must be cogrouped pandas stages, and the seen-set must
+    never appear on the build side of a shuffled join."""
+    import numpy as np
+
+    from marginaliasearch_spark.operators.cuckoo import (
+        cuckoo_anti_join,
+        unpersist_transients,
+    )
+
+    rng = np.random.default_rng(1)
+    seen = spark.createDataFrame(
+        [(int(k), int(k % 4)) for k in rng.integers(0, 2**40, 2000)],
+        "url_hash long, bucket int",
+    )
+    cand = spark.createDataFrame(
+        [(int(k), int(k % 4), "u") for k in rng.integers(0, 2**40, 500)],
+        "url_hash long, bucket int, url string",
+    )
+    plan = _plan(cuckoo_anti_join(cand, seen))
+    unpersist_transients()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan  # seen is never shuffle-joined

@@ -42,3 +42,30 @@ def test_validate_inline_columns(spark, tmp_path):
     e2.run_waves(pages, wave_budget=None)
     cd2 = e2.read_table("crawl_data")
     assert cd2.filter(F.col("phash").isNotNull()).count() == 0
+
+
+def test_validate_image_ids_stage(spark):
+    """The row-balanced post-hoc validation stage (round 5 — the scale
+    topology) must agree with the inline path's verdicts: every corpus
+    image decodes, lossy rows clear the PSNR floor, and the codec column
+    reflects the real backend per fmt."""
+    from pyspark.sql import functions as F
+
+    from marginaliasearch_spark.plans.validate import validate_image_ids
+
+    df = spark.createDataFrame(
+        [(f"img-{i:010d}",) for i in range(30)] + [(None,)],
+        "image_id string",
+    )
+    v = validate_image_ids(df, seed=42).toPandas()
+    assert len(v) == 30  # NULL image_id ignored
+    assert v["decode_ok"].all()
+    assert v["psnr_ok"].all()
+    by_codec = v.set_index("image_id")["codec"].to_dict()
+    for image_id, codec in by_codec.items():
+        idx = int(image_id.split("-")[1])
+        assert codec == ("png", "jpeg", "stub")[idx % 3], image_id
+    # lossy rows show real (finite) PSNR, lossless rows are exact
+    lossy = v[v["fmt"].isin(["jpeg", "webp"])]
+    assert (lossy["psnr_db"] >= 40.0).all()
+    assert (lossy["psnr_db"] < 900.0).all()  # finite -> genuinely lossy
