@@ -81,28 +81,26 @@ def q_worklog_compaction(spark, sf_dir):
     """Work-log compaction: last entry per domain wins (CrawlerMain:472-489
     analogue over events)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
-        .withColumnRenamed("event_id", "last_event_id")
-        .withColumnRenamed("event_type", "last_event_type")
+    # max_by over the (ts, event_id) order key ≡ the row_number()=1 window
+    # row, but aggregates map-side: no per-user sort, ~1 row/user crosses
+    # the exchange instead of every event (guide §2.3)
+    last = F.max_by(
+        F.struct("event_id", "event_type"), F.struct("ts", "event_id")
+    ).alias("m")
+    return ev.groupBy("user_id").agg(last).select(
+        "user_id",
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_event_type"),
     )
 
 
 def q_frontier_firstwins(spark, sf_dir):
     """addKnown first-wins dedup (DomainCrawlFrontier:125-132 analogue)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            F.col("event_id").alias("first_event_id"),
-        )
+    # min_by over the (ts, event_id) order key ≡ the row_number()=1 window
+    # row (first-wins), aggregated map-side instead of sorting every event
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id")
     )
 
 
@@ -378,23 +376,20 @@ def q_q1_pricing_summary(spark, sf_dir):
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     # Aggregates emitted as fixed-point BIGINT (cents / ten-thousandths) so the
     # DuckDB oracle hashes identically (decimal repr differs across engines).
+    # Exact integer form: per-row cents after the same decimal(18,2)
+    # rounding are exact longs, and a 2dp×2dp product is exactly the e4
+    # fixed-point disc-price term — long-sum aggregation instead of
+    # Decimal128 state, same bigint results.
+    qty_c = (dec("l_quantity") * 100).cast("long")
+    price_c = (dec("l_extendedprice") * 100).cast("long")
+    disc_c = F.lit(100) - (dec("l_discount") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(dec("l_quantity")) * 100).cast("long").alias("sum_qty"),
-            (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("sum_base_price"),
-            (
-                F.sum(
-                    (
-                        dec("l_extendedprice")
-                        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-                    ).cast("decimal(28,4)")
-                )
-                * 10000
-            )
-            .cast("long")
-            .alias("sum_disc_price"),
+            F.sum(qty_c).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_price"),
+            F.sum(price_c * disc_c).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -404,25 +399,13 @@ def q_revenue_topn(spark, sf_dir):
     """Join + agg + top-k (TPC-H Q3-ish): top 10 orders by revenue."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    rev = (
-        li.groupBy("l_orderkey")
-        .agg(
-            (
-                F.sum(
-                    (
-                        F.col("l_extendedprice").cast("decimal(18,2)")
-                        * (
-                            F.lit(1).cast("decimal(18,2)")
-                            - F.col("l_discount").cast("decimal(18,2)")
-                        )
-                    ).cast("decimal(28,4)")
-                )
-                * 10000
-            )
-            .cast("long")
-            .alias("revenue")
-        )
-    )
+    # exact integer form of sum(p(18,2)·(1−d)(18,2) as (28,4))·10⁴: cents
+    # are exact longs after the same decimal(18,2) rounding, and a 2dp×2dp
+    # product is exactly the e4 fixed-point term — so the sum aggregates
+    # 8-byte longs instead of Decimal128 state (same bigint result)
+    p_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    q_c = F.lit(100) - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rev = li.groupBy("l_orderkey").agg(F.sum(p_c * q_c).alias("revenue"))
     return (
         o.join(rev, o.o_orderkey == rev.l_orderkey)
         .orderBy(F.desc("revenue"), F.col("o_orderkey"))

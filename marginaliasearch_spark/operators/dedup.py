@@ -172,14 +172,24 @@ def minhash_lsh_pairs(
     signature-estimated Jaccard.
 
     shingle→minhash (pandas UDF, Arrow) → explode to band keys →
-    bucket self-join (shuffle on band hash only) → exact signature check.
-    ``max_bucket`` caps degenerate buckets (boilerplate) to bound the
-    self-join blow-up at scale.
+    bucket-local pair scoring (one shuffle on the band hash, buckets
+    contiguous via sortWithinPartitions, signatures compared as numpy
+    matrices inside mapInPandas) → cross-band pair dedup.
+
+    A bucket of size s yields s(s-1)/2 candidates, and boilerplate-heavy
+    corpora emit tens of millions of sub-threshold candidates from
+    legal-sized buckets (measured: 34.5M candidates → 60k pairs at sf1).
+    Scoring them as a JVM expression join paid an interpreted
+    per-array-element lambda per candidate; the bucket-local numpy form
+    does the same comparisons vectorized and ships each signature into
+    the shuffle ONCE instead of twice, and only above-threshold pairs
+    ever leave the stage.  ``max_bucket`` caps degenerate buckets
+    (boilerplate) to bound the blow-up at scale.
     """
     rows_per_band = num_hashes // bands
-    # the signature subtree feeds three branches of the DAG (bucket-size
-    # census + both sides of the self-join); without a persist the pandas
-    # UDF kernel — the dominant compute — runs 3x
+    # the signature subtree feeds two branches of the DAG (bucket-size
+    # census + the bucket partition stream); without a persist the pandas
+    # UDF kernel — the dominant compute — runs twice
     sig = (
         with_minhash(docs, text_col, num_hashes, k, seed)
         .select(id_col, "minhash")
@@ -197,47 +207,123 @@ def minhash_lsh_pairs(
         id_col, "minhash", F.explode(F.array(*band_cols)).alias("band_hash")
     )
 
-    # cap pathological buckets
-    bucket_sizes = banded.groupBy("band_hash").count()
+    # cap pathological buckets (census on the narrow projection)
+    bucket_sizes = banded.select("band_hash").groupBy("band_hash").count()
     banded = banded.join(
         F.broadcast(bucket_sizes.filter(F.col("count") > max_bucket).select("band_hash")),
         "band_hash",
         "left_anti",
     )
 
-    a = banded.select(
-        F.col("band_hash"),
-        F.col(id_col).alias("id_a"),
-        F.col("minhash").alias("mh_a"),
+    id_field = next(f for f in docs.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("jaccard_est", T.DoubleType()),
+        ]
     )
-    b = banded.select(
-        F.col("band_hash"),
-        F.col(id_col).alias("id_b"),
-        F.col("minhash").alias("mh_b"),
+    numeric_id = isinstance(
+        id_field.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
-    est = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_hashes)
-    # estimate BEFORE the pair dedup: candidate volume is Σ bucket² (a
-    # boilerplate-heavy corpus emits millions of sub-threshold candidates),
-    # so the threshold filter runs map-side in the join stage and only
-    # id-pairs above threshold — not 1 KB of signature arrays per
-    # candidate — reach the dropDuplicates shuffle
-    return (
-        a.join(b, "band_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard_est", est.cast("double"))
-        .filter(F.col("jaccard_est") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard_est")
-        .dropDuplicates(["id_a", "id_b"])
+
+    def score_buckets(it):
+        """Partition stream sorted by band_hash: buckets arrive as
+        contiguous runs, possibly split across Arrow batches — buffer the
+        trailing (maybe-incomplete) run and score complete runs with one
+        numpy broadcast compare per bucket."""
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64" if numeric_id else "object"),
+                "id_b": pd.Series(dtype="int64" if numeric_id else "object"),
+                "jaccard_est": pd.Series(dtype="float64"),
+            }
+        )
+
+        def process(hashes, ids, M):
+            change = np.nonzero(hashes[1:] != hashes[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(hashes)]))
+            sizes = ends - starts
+            out_a, out_b, out_e = [], [], []
+            # size-2 buckets (the common case) scored in one vectorized op
+            two = starts[sizes == 2]
+            if len(two):
+                est = (M[two] == M[two + 1]).sum(axis=1) / num_hashes
+                keep = est >= jaccard_threshold
+                ia, ib = ids[two[keep]], ids[two[keep] + 1]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_e.append(est[keep])
+            for r in np.nonzero(sizes > 2)[0]:
+                s0, s1 = int(starts[r]), int(ends[r])
+                C, cid = M[s0:s1], ids[s0:s1]
+                s = s1 - s0
+                iu, ju = np.triu_indices(s, 1)
+                # row-chunked so the (chunk, s, num_hashes) temp stays small
+                cnt = np.empty((s, s), dtype=np.int64)
+                for c0 in range(0, s, 512):
+                    c1 = min(c0 + 512, s)
+                    cnt[c0:c1] = (C[c0:c1, None, :] == C[None, :, :]).sum(axis=2)
+                est = cnt[iu, ju] / num_hashes
+                keep = est >= jaccard_threshold
+                ia, ib = cid[iu[keep]], cid[ju[keep]]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_e.append(est[keep])
+            if not out_a:
+                return None
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "jaccard_est": np.concatenate(out_e),
+                }
+            )
+
+        buf_h = buf_i = buf_m = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            hashes = pdf["band_hash"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            M = np.array(pdf["minhash"].tolist(), dtype=np.int64)
+            if buf_h is not None:
+                hashes = np.concatenate((buf_h, hashes))
+                ids = np.concatenate((buf_i, ids))
+                M = np.concatenate((buf_m, M))
+            # hold back the trailing run — its bucket may continue in the
+            # next batch (runs are bounded by max_bucket, so the buffer
+            # cannot grow past one bucket + one batch)
+            cut = int(np.searchsorted(hashes, hashes[-1], side="left"))
+            buf_h, buf_i, buf_m = hashes[cut:], ids[cut:], M[cut:]
+            if cut:
+                res = process(hashes[:cut], ids[:cut], M[:cut])
+                if res is not None:
+                    yield res
+        if buf_h is not None and len(buf_h):
+            res = process(buf_h, buf_i, buf_m)
+            if res is not None:
+                yield res
+        yield empty  # pin output dtypes even when no pair is emitted
+
+    scored = (
+        banded.repartition(F.col("band_hash"))
+        .sortWithinPartitions("band_hash")
+        .mapInPandas(score_buckets, out_schema)
     )
+    return scored.dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
 
 def simhash_batch(texts, k: int = 4, seed: int = 42) -> np.ndarray:
@@ -254,10 +340,11 @@ def simhash_batch(texts, k: int = 4, seed: int = 42) -> np.ndarray:
             sh ^= sh >> np.uint64(29)
             bits = (sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
             votes = bits.sum(axis=0) * 2 > len(sh)
-            v = 0
-            for bit in votes[::-1]:
-                v = (v << 1) | int(bit)
-            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+            # weighted sum folds the 64 votes in one vectorized op
+            # (bit i of the signature = votes[i]); int64 view = the same
+            # two's-complement conversion as the old per-bit Python fold
+            v = (votes * _BIT_WEIGHTS).sum(dtype=np.uint64)
+            out[i] = np.uint64(v).view(np.int64)
     return out
 
 
@@ -279,42 +366,51 @@ def simhash_pairs(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole blocking: split 64 bits into 4 chunks of 16; hamming ≤ 3 ⇒
-    at least one chunk identical → candidate join per chunk (4 narrow
-    shuffles) → exact ``bit_count(xor)`` verification, all JVM-side.
+    at least one chunk identical → ONE candidate self-join on the
+    exploded (chunk_index, chunk_value) key → exact ``bit_count(xor)``
+    verification, all JVM-side.  (Four per-chunk joins + a union compute
+    the same pair set but pay 4× the join/stage fixed cost; the exploded
+    single join shuffles the same bytes once.)
     """
     sigs = with_simhash(docs, text_col, seed=seed).select(id_col, "simhash")
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftrightunsigned(F.col("simhash"), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("cv"),
+        )
         for i in range(4)
     ]
-    # the signature subtree feeds all 8 branches of the 4 chunk self-joins;
-    # persist so the pandas UDF kernel runs once, not 8x
-    t = sigs.select(id_col, "simhash", *chunks).persist()
+    # the signature subtree feeds both sides of the self-join; persist so
+    # the pandas UDF kernel runs once, not twice
+    t = (
+        sigs.select(
+            id_col, "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+        )
+        .select(id_col, "simhash", "c.ci", "c.cv")
+        .persist()
+    )
     _TRANSIENT.append(t)  # released by unpersist_transients()
 
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    parts = []
-    for i in range(4):
-        a = t.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{i}").alias("ck")
-        )
-        b = t.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{i}").alias("ck")
-        )
-        parts.append(
-            # hamming filter inside each join stage: only true near-dup
-            # pairs — not every chunk-collision candidate — reach the
-            # cross-chunk dedup shuffle
-            a.join(b, "ck")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
-        )
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    return cand.dropDuplicates(["id_a", "id_b"])
+    a = t.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv"
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv"
+    )
+    return (
+        # hamming filter inside the join stage: only true near-dup
+        # pairs — not every chunk-collision candidate — reach the
+        # cross-chunk dedup shuffle
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -112,7 +112,9 @@ def connected_components(
     fixpoint."""
     # both directions from ONE scan of pairs (a union of two selects
     # would execute the upstream pair pipeline — often an expensive LSH
-    # plan — twice during cache materialization)
+    # plan — twice during cache materialization); pre-partitioned on the
+    # per-round join key so every iteration reuses the cached layout
+    # instead of re-shuffling the edge table
     edges = (
         pairs.select(
             F.explode(
@@ -124,6 +126,7 @@ def connected_components(
         )
         .select("e.a", "e.b")
         .distinct()
+        .repartition(F.col("b"))
         .cache()
     )
     labels = (
@@ -133,38 +136,49 @@ def connected_components(
     )
 
     for i in range(max_iterations):
-        neighbor_min = (
+        # self ∪ neighbor contributions → one min-aggregation (replaces
+        # the old groupBy + left-join pair: one shuffle fewer per round);
+        # the _self-tagged row carries the previous label through the agg
+        # so the fixpoint check needs no extra old⋈new join
+        contrib = (
             edges.join(labels, edges.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
+            .select(F.col("a").alias("id"), "component", F.lit(False).alias("_self"))
         )
-        stepped = labels.join(
-            neighbor_min, labels.id == neighbor_min.a, "left"
-        ).select(
-            "id",
-            F.col("component").alias("old_component"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-            ).alias("component"),
+        stepped = (
+            contrib.unionByName(
+                labels.select("id", "component", F.lit(True).alias("_self"))
+            )
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias(
+                    "old_component"
+                ),
+            )
         )
         # pointer jump: component ← component's own component (labels are
-        # node ids, so the label table doubles as the pointer table)
+        # node ids, so the label table doubles as the pointer table);
+        # measured note: a second jump per round does NOT help — the jump
+        # references `stepped` twice with no exchange reuse, so each extra
+        # jump doubles the per-round plan, and round counts on real pair
+        # graphs are propagation-limited, not chain-limited
         ptr = stepped.select(
             F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        stepped = stepped.join(ptr, stepped.component == ptr.p_id, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+            ).alias("component"),
+            "old_component",
         )
         # the fixpoint flag rides the checkpointed rows: detecting
         # convergence is then a scan of materialized data, not an extra
         # old⋈new join-shuffle per round
         flagged = (
-            stepped.join(ptr, stepped.component == ptr.p_id, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
-                ).alias("component"),
-                "old_component",
+            stepped.withColumn(
+                "_changed", F.col("component") != F.col("old_component")
             )
-            .withColumn("_changed", F.col("component") != F.col("old_component"))
             .drop("old_component")
             .localCheckpoint()
         )

@@ -227,3 +227,66 @@ def test_textstats(spark, docs):
 
     # runs on the real documents table too
     assert quality_score(docs).filter(F.col("quality_score") > 0).count() > 0
+
+
+def test_minhash_lsh_pairs_matches_numpy_banded_reference(spark, docs):
+    """Internals pin for the bucket-local numpy scoring stage (round 6):
+    the distributed pair set AND every jaccard_est must equal a pure
+    numpy/python replay of the banded-LSH contract — signatures → 16
+    band buckets (bucketed by the band's raw 4-hash slice; xxhash64 is
+    injective on these modulo astronomically unlikely collisions) →
+    within-bucket candidates → est = equal-positions/64 ≥ threshold —
+    including bucket runs that straddle Arrow batch boundaries
+    (exercised by lowering maxRecordsPerBatch)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from marginaliasearch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature_batch,
+        unpersist_transients,
+    )
+
+    base = docs.select("doc_id", "text")
+    copies = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.9) as int))").alias(
+            "text"
+        ),
+    )
+    allv = base.unionByName(copies)
+    rows = allv.collect()
+    ids = [r["doc_id"] for r in rows]
+    sigs = minhash_signature_batch([r["text"] for r in rows])
+
+    # pure-python banded reference
+    buckets = defaultdict(list)
+    for i, s in enumerate(sigs):
+        for band in range(16):
+            buckets[(band, tuple(s[band * 4 : band * 4 + 4]))].append(i)
+    want = {}
+    for members in buckets.values():
+        if len(members) > 1000:  # max_bucket cap
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                est = float(np.mean(sigs[i] == sigs[j]))
+                if est >= 0.6:
+                    a, b = sorted((ids[i], ids[j]))
+                    want[(a, b)] = est
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard_est"]
+            for r in minhash_lsh_pairs(allv, jaccard_threshold=0.6).collect()
+        }
+    finally:
+        if old_batch is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+        unpersist_transients()
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in got)
