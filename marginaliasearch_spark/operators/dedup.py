@@ -10,9 +10,10 @@ corpus-wide near-dup detection.
 
 Scale notes: every family is a shuffle-on-key design —
 - exact:   groupBy(md5) with map-side combine; key cardinality ≈ rows.
-- minhash: explode to (band_hash) buckets → self-join inside buckets only;
-           band count k bounds the blow-up at k×rows; skewed buckets are
-           AQE-split and giant buckets (boilerplate collisions) capped.
+- minhash: explode to (band_hash) buckets → ONE shuffle on the band hash,
+           bucket-local vectorized scoring over contiguous sorted runs;
+           band count k bounds the blow-up at k×rows; giant buckets
+           (boilerplate collisions) are capped inside the scorer.
 - simhash: 4×16-bit chunk index (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
            chunk) → candidate join on chunk equality → exact hamming check.
 """
@@ -26,11 +27,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-# persisted signature subtrees awaiting release (minhash_lsh_pairs and
-# simhash_pairs persist their signature DataFrames because several join
-# branches consume them; same contract as operators/bloom.py — callers
-# that materialize the result release them via unpersist_transients(),
-# so a long-lived driver doesn't accumulate MEMORY_AND_DISK blocks)
+# persisted signature subtrees awaiting release (simhash_pairs persists
+# its chunked signature table because both self-join sides consume it;
+# minhash_lsh_pairs is single-consumer since round 6 and persists
+# nothing; same contract as operators/bloom.py — callers that
+# materialize the result release them via unpersist_transients(), so a
+# long-lived driver doesn't accumulate MEMORY_AND_DISK blocks)
 _TRANSIENT: list = []
 
 
@@ -187,15 +189,13 @@ def minhash_lsh_pairs(
     (boilerplate) to bound the blow-up at scale.
     """
     rows_per_band = num_hashes // bands
-    # the signature subtree feeds two branches of the DAG (bucket-size
-    # census + the bucket partition stream); without a persist the pandas
-    # UDF kernel — the dominant compute — runs twice
-    sig = (
-        with_minhash(docs, text_col, num_hashes, k, seed)
-        .select(id_col, "minhash")
-        .persist()
-    )
-    _TRANSIENT.append(sig)  # released by unpersist_transients()
+    # single consumer (the bucket partition stream) → no persist, no
+    # census pass: the cap on degenerate buckets is enforced INSIDE the
+    # scorer, which sees every bucket as one contiguous sorted run and
+    # skips runs longer than max_bucket — identical semantics to the old
+    # bucket-size census + broadcast anti-join, minus one full pass over
+    # the banded table and the persist of the signature subtree
+    sig = with_minhash(docs, text_col, num_hashes, k, seed).select(id_col, "minhash")
 
     band_cols = [
         F.xxhash64(
@@ -205,14 +205,6 @@ def minhash_lsh_pairs(
     ]
     banded = sig.select(
         id_col, "minhash", F.explode(F.array(*band_cols)).alias("band_hash")
-    )
-
-    # cap pathological buckets (census on the narrow projection)
-    bucket_sizes = banded.select("band_hash").groupBy("band_hash").count()
-    banded = banded.join(
-        F.broadcast(bucket_sizes.filter(F.col("count") > max_bucket).select("band_hash")),
-        "band_hash",
-        "left_anti",
     )
 
     id_field = next(f for f in docs.schema.fields if f.name == id_col)
@@ -250,7 +242,7 @@ def minhash_lsh_pairs(
             sizes = ends - starts
             out_a, out_b, out_e = [], [], []
             # size-2 buckets (the common case) scored in one vectorized op
-            two = starts[sizes == 2]
+            two = starts[sizes == 2] if max_bucket >= 2 else starts[:0]
             if len(two):
                 est = (M[two] == M[two + 1]).sum(axis=1) / num_hashes
                 keep = est >= jaccard_threshold
@@ -258,7 +250,10 @@ def minhash_lsh_pairs(
                 out_a.append(np.minimum(ia, ib))
                 out_b.append(np.maximum(ia, ib))
                 out_e.append(est[keep])
-            for r in np.nonzero(sizes > 2)[0]:
+            # the max_bucket cap lives here: a degenerate (boilerplate)
+            # bucket is one contiguous run, skipped whole — identical to
+            # the old census + anti-join, without the extra pass
+            for r in np.nonzero((sizes > 2) & (sizes <= max_bucket))[0]:
                 s0, s1 = int(starts[r]), int(ends[r])
                 C, cid = M[s0:s1], ids[s0:s1]
                 s = s1 - s0
@@ -285,21 +280,35 @@ def minhash_lsh_pairs(
             )
 
         buf_h = buf_i = buf_m = None
+        skip_hash = None  # hash of an over-cap run being discarded
         for pdf in it:
             if len(pdf) == 0:
                 continue
             hashes = pdf["band_hash"].to_numpy()
             ids = pdf[id_col].to_numpy()
             M = np.array(pdf["minhash"].tolist(), dtype=np.int64)
+            if skip_hash is not None:
+                # continuation rows of a discarded over-cap run arrive as
+                # a (sorted) prefix of this batch — drop them on sight
+                keep = hashes != skip_hash
+                if not keep.all():
+                    hashes, ids, M = hashes[keep], ids[keep], M[keep]
+                if len(hashes) == 0:
+                    continue
+                skip_hash = None
             if buf_h is not None:
                 hashes = np.concatenate((buf_h, hashes))
                 ids = np.concatenate((buf_i, ids))
                 M = np.concatenate((buf_m, M))
             # hold back the trailing run — its bucket may continue in the
-            # next batch (runs are bounded by max_bucket, so the buffer
-            # cannot grow past one bucket + one batch)
+            # next batch
             cut = int(np.searchsorted(hashes, hashes[-1], side="left"))
             buf_h, buf_i, buf_m = hashes[cut:], ids[cut:], M[cut:]
+            if len(buf_h) > max_bucket:
+                # the trailing run already exceeds the cap: discard it now
+                # so a degenerate bucket can never accumulate in memory
+                skip_hash = buf_h[0]
+                buf_h = buf_i = buf_m = None
             if cut:
                 res = process(hashes[:cut], ids[:cut], M[:cut])
                 if res is not None:

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from typing import Optional
 
 import pandas as pd
@@ -699,6 +700,15 @@ class SparkCrawlEngine:
 
         waves_done = 0
         t_start = _time.monotonic()
+        trace = os.environ.get("SPARK_GRAFT_WAVE_TIMING") == "1"
+        _tp = [_time.monotonic()]
+
+        def _mark(label: str) -> None:
+            # opt-in per-phase wall trace (guide §1.5) — stderr only
+            if trace:
+                now = _time.monotonic()
+                print(f"[wave-timing] {label}: {now - _tp[0]:.3f}s", file=sys.stderr)
+                _tp[0] = now
 
         while waves_done < max_waves:
             if deadline_s is not None and _time.monotonic() - t_start >= deadline_s:
@@ -763,7 +773,18 @@ class SparkCrawlEngine:
             # collect, carry anti-join) — cache it so each doesn't re-scan
             # the domain_state parquet
             active = active.persist()
-            if active.isEmpty():
+            # ONE bounded action materializes the runnable set AND yields
+            # the dirty-bucket list (≤ n_buckets rows): the former
+            # separate isEmpty + post-wave collect were two extra jobs
+            # per wave for the same information
+            dirty = sorted(
+                r["bucket"]
+                for r in active.select(self._bucket(F.col("domain")).alias("bucket"))
+                .distinct()
+                .collect()
+            )
+            _mark("state read + runnable set build")
+            if not dirty:  # no dirty buckets ⇔ no runnable domains
                 active.unpersist()
                 break
 
@@ -875,7 +896,9 @@ class SparkCrawlEngine:
             # directories; frontier/domain_state replacements re-read only
             # their own kind's files (no recompute).
             opath = self.catalog.wave_path("wave_out", wave)
+            _mark("wave plan build")
             out.write.partitionBy("row_kind").mode("overwrite").parquet(opath)
+            _mark("cogroup crawl + wave_out write")
             table_paths: dict[str, Optional[str]] = {"wave_out": opath}
             out_w = self.spark.read.parquet(opath)
 
@@ -888,12 +911,6 @@ class SparkCrawlEngine:
                 out_w.filter(F.col("row_kind") == "frontier")
                 .select("domain", "url_hash", "url", "seq", "state")
                 .withColumn("bucket", self._bucket(F.col("domain")))
-            )
-            dirty = sorted(
-                r["bucket"]
-                for r in active.select(self._bucket(F.col("domain")).alias("bucket"))
-                .distinct()
-                .collect()
             )
             if frontier is not None:
                 # carry forward dirty-bucket rows of every domain that did
@@ -945,6 +962,7 @@ class SparkCrawlEngine:
                 futs = [ex.submit(_write_frontier), ex.submit(_write_domain_state)]
                 for f in futs:
                     f.result()  # re-raises either failure before commit
+            _mark("frontier + domain_state writes")
 
             frontier_buckets = {}
             for b in dirty:
@@ -981,16 +999,11 @@ class SparkCrawlEngine:
             self.catalog.commit(wave, table_paths, frontier_buckets=frontier_buckets)
             active.unpersist()
             waves_done += 1
-
-            # early exit: if this wave left no active domains, skip the
-            # next iteration's read-back (saves a whole Spark job round)
-            none_active = (
-                self.spark.read.parquet(dpath)
-                .filter(F.col("phase").isin("pending", "active"))
-                .isEmpty()
-            )
-            if none_active:
-                break
+            _mark("commit")
+            # termination is detected by the NEXT iteration's runnable-set
+            # materialization (one bounded action per wave) — a dedicated
+            # post-wave none-active read-back would re-read domain_state a
+            # second time every wave to save work only on the last one
 
         return waves_done
 

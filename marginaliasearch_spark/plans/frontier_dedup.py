@@ -104,7 +104,11 @@ class FrontierDedup:
         # hit the wrong buckets' filters and re-admit seen URLs
         self.n_buckets = int(m.get("n_buckets", self.n_buckets))
         self.m_bits = int(m.get("m_bits", self.m_bits))
-        self.filter_kind = m.get("filter_kind", self.filter_kind)
+        # legacy manifests (pre-cuckoo) carry no filter_kind and are always
+        # bloom stores; falling back to the INSTANCE kind would make a
+        # cuckoo-configured engine read bloom-schema filter rows and fail
+        # with an executor-side KeyError instead of adopting the table
+        self.filter_kind = m.get("filter_kind", "bloom")
         return m
 
     def seen(self) -> Optional[DataFrame]:
@@ -308,6 +312,11 @@ class FrontierDedup:
         present_w = self.spark.read.parquet(ppath)
         n_forgotten = present_w.count()
         if n_forgotten == 0:
+            # nothing to forget: remove the empty present-keys dir so the
+            # zero path leaves no orphan parquet no manifest references
+            import shutil
+
+            shutil.rmtree(ppath, ignore_errors=True)
             return 0
 
         spath = os.path.join(self.root, f"seen-forget-{snap:06d}")
@@ -326,6 +335,10 @@ class FrontierDedup:
             m, snapshot=snap, seen_paths=[spath], blooms_path=bpath,
             filter_kind=self.filter_kind,
         )
+        # deletion lowers the actual fill: carrying the pre-forget estimate
+        # forward would overstate saturation to future ingests' compaction
+        # heuristics — drop it rather than commit a stale number
+        manifest.pop("max_fill_est", None)
         tmp = self._manifest_path(snap) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)

@@ -68,10 +68,13 @@ def validate_payloads(corpus: DataFrame, seed: int = 42, psnr_min: float = 40.0)
             }
             for i in range(n):
                 image_id = pdf["image_id"].iloc[i]
-                idx = int(image_id.split("-")[1])
-                src, _fmt = make_image(seed, idx)
-                want_caption = make_caption(seed, idx)
                 try:
+                    # a malformed image_id yields a failed verdict row,
+                    # not a task failure (same contract as
+                    # validate_image_ids below)
+                    idx = int(image_id.split("-")[1])
+                    src, _fmt = make_image(seed, idx)
+                    want_caption = make_caption(seed, idx)
                     arr, fmt = decode_image(bytes(pdf["bytes"].iloc[i]))
                 except Exception:
                     continue
@@ -133,9 +136,12 @@ def validate_image_ids(df: DataFrame, seed: int = 42, psnr_min: float = 40.0) ->
                 "codec": [""] * len(ids),
             }
             for i, image_id in enumerate(ids):
-                idx = int(image_id.split("-")[1])
-                src, fmt = make_image(seed, idx)
                 try:
+                    # the id arrives from wire HTML under the live
+                    # transport: a malformed one must yield a failed
+                    # verdict row, not a task failure
+                    idx = int(image_id.split("-")[1])
+                    src, fmt = make_image(seed, idx)
                     arr, fmt2 = decode_image(encode_corpus_image(src, fmt))
                 except Exception:
                     continue

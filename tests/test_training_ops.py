@@ -255,38 +255,54 @@ def test_minhash_lsh_pairs_matches_numpy_banded_reference(spark, docs):
             "text"
         ),
     )
-    allv = base.unionByName(copies)
+    # 24 identical planted docs: one full-band bucket of size 24, dropped
+    # entirely under max_bucket=8 but fully paired under the default cap
+    planted_text = (base.limit(1).collect()[0]["text"] or "planted text body") * 2
+    planted = spark.createDataFrame(
+        [(900000 + i, planted_text) for i in range(24)], "doc_id long, text string"
+    )
+    allv = base.unionByName(copies).unionByName(planted)
     rows = allv.collect()
     ids = [r["doc_id"] for r in rows]
     sigs = minhash_signature_batch([r["text"] for r in rows])
 
-    # pure-python banded reference
-    buckets = defaultdict(list)
-    for i, s in enumerate(sigs):
-        for band in range(16):
-            buckets[(band, tuple(s[band * 4 : band * 4 + 4]))].append(i)
-    want = {}
-    for members in buckets.values():
-        if len(members) > 1000:  # max_bucket cap
-            continue
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                i, j = members[x], members[y]
-                est = float(np.mean(sigs[i] == sigs[j]))
-                if est >= 0.6:
-                    a, b = sorted((ids[i], ids[j]))
-                    want[(a, b)] = est
+    def reference(max_bucket):
+        buckets = defaultdict(list)
+        for i, s in enumerate(sigs):
+            for band in range(16):
+                buckets[(band, tuple(s[band * 4 : band * 4 + 4]))].append(i)
+        want = {}
+        for members in buckets.values():
+            if len(members) > max_bucket:
+                continue
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    est = float(np.mean(sigs[i] == sigs[j]))
+                    if est >= 0.6:
+                        a, b = sorted((ids[i], ids[j]))
+                        want[(a, b)] = est
+        return want
 
     old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
     try:
-        got = {
-            (r["id_a"], r["id_b"]): r["jaccard_est"]
-            for r in minhash_lsh_pairs(allv, jaccard_threshold=0.6).collect()
-        }
+        for cap in (1000, 8):
+            want = reference(cap)
+            got = {
+                (r["id_a"], r["id_b"]): r["jaccard_est"]
+                for r in minhash_lsh_pairs(
+                    allv, jaccard_threshold=0.6, max_bucket=cap
+                ).collect()
+            }
+            unpersist_transients()
+            assert set(got) == set(want), f"cap={cap}"
+            assert all(abs(got[k] - want[k]) < 1e-12 for k in got), f"cap={cap}"
+            if cap == 8:
+                assert not any(a >= 900000 for a, _ in got)
+            else:
+                assert sum(1 for a, b in got if a >= 900000 and b >= 900000) == 276
     finally:
         if old_batch is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
         unpersist_transients()
-    assert set(got) == set(want)
-    assert all(abs(got[k] - want[k]) < 1e-12 for k in got)
