@@ -243,6 +243,25 @@ def q_error_budget(spark, sf_dir):
     )
 
 
+
+def _with_prefix_copies(docs):
+    """documents ∪ planted 90%-prefix copies (doc_id + 100000) from ONE
+    scan: a 2-way explode replaces the union's second parquet pass —
+    identical rows, half the input I/O."""
+    return docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct(
+                    (F.col("doc_id") + 100000).alias("doc_id"),
+                    F.expr(
+                        "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+                    ).alias("text"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.text")
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization through the real kernel (EdgeUrl §1.2) on
     synthesized messy URLs; the oracle constructs the expected canonical
@@ -252,15 +271,14 @@ def q_url_canonicalize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     raw = docs.select("doc_id", F.expr(_SYNTH_URL).alias("raw_url"))
     c = raw.withColumn("c", canonicalize(F.col("raw_url")))
-    return raw.select("doc_id").join(
-        c.select(
-            "doc_id",
-            F.col("c.url_canon").alias("url_canon"),
-            F.col("c.domain").alias("domain"),
-            F.col("c.top_domain").alias("top_domain"),
-            F.col("c.param").alias("param"),
-        ),
+    # no join: `c` already carries doc_id 1:1 — the old raw⋈c self-join
+    # shuffled 2×|docs| rows to reattach a column the row already had
+    return c.select(
         "doc_id",
+        F.col("c.url_canon").alias("url_canon"),
+        F.col("c.domain").alias("domain"),
+        F.col("c.top_domain").alias("top_domain"),
+        F.col("c.param").alias("param"),
     )
 
 
@@ -618,13 +636,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     from marginaliasearch_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr(
-            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
-        ).alias("text"),
-    )
-    allv = docs.unionByName(copies)
+    allv = _with_prefix_copies(docs)
     return minhash_lsh_pairs(allv, jaccard_threshold=0.6).select("id_a", "id_b")
 
 
@@ -640,13 +652,7 @@ def q_compose_training_set(spark, sf_dir):
     from marginaliasearch_spark.plans.corpus_pipeline import compose_training_set
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr(
-            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
-        ).alias("text"),
-    )
-    enriched = docs.unionByName(copies).select(
+    enriched = _with_prefix_copies(docs).select(
         "doc_id",
         "text",
         F.length("text").cast("long").alias("quality_score"),
@@ -674,11 +680,17 @@ def q_simhash_pairs(spark, sf_dir):
         .filter(F.col("text").rlike(r"\A[ -~]*\z"))
         .select("doc_id", "text")
     )
-    copies = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" x")).alias("text"),
-    )
-    allv = docs.unionByName(copies)
+    allv = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct(
+                    (F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" x")).alias("text"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.text")
     return simhash_pairs(allv, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -1068,9 +1080,14 @@ def q_minhash_dup_pairs(spark, sf_dir):
     from marginaliasearch_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    allv = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    )
+    allv = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct((F.col("doc_id") + 100000).alias("doc_id"), F.col("text")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.text")
     cand = minhash_lsh_pairs(allv, jaccard_threshold=1.0)
     ta = allv.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = allv.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
@@ -1089,9 +1106,14 @@ def q_simhash_dup_pairs(spark, sf_dir):
     from marginaliasearch_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    allv = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    )
+    allv = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct((F.col("doc_id") + 100000).alias("doc_id"), F.col("text")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.text")
     cand = simhash_pairs(allv, max_hamming=0)
     ta = allv.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = allv.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))

@@ -133,14 +133,54 @@ def minhash_signature_batch(texts, num_hashes: int = 64, k: int = 5, seed: int =
 
 
 def _spread_for_compute(df: DataFrame) -> DataFrame:
-    """Signature computation is compute-bound, not byte-bound: a small
-    single-file table arrives as one input partition and would serialize
-    the UDF.  Spread to the cluster's parallelism first — but only when
-    the input is actually under-split (a big table already carrying
-    enough partitions must NOT be shuffled wholesale just to hash it)."""
+    """Signature computation is compute-bound, not byte-bound: an
+    under-split input would serialize the UDF.  Spread to the cluster's
+    parallelism first — but only when the input cannot already feed that
+    many tasks (a big well-laid-out table must NOT be shuffled wholesale
+    just to hash it).
+
+    The partition COUNT alone is a trap: Spark splits a parquet file into
+    byte ranges, but a ROW GROUP is the atomic read unit — a 160 MB file
+    written as one row group yields 32 nominal splits of which one holds
+    every row (measured: the signature stage ran 1-core at 10× scale, 209 s
+    vs 6.6 s expected).  So decide from driver-side file metadata: a small
+    input (< parallelism × 64 MB) is always spread — the shuffle is
+    trivially affordable and row balance is then guaranteed; a large one
+    is spread only when its (sampled) row-group count cannot feed the
+    cluster.  Non-file sources fall back to the partition-count check."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
+    try:
+        files = list(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file plans (e.g. createDataFrame)
+        files = []
+    if not files:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+        return df.repartition(n)
+    import os as _os
+
+    local = [f[5:] if f.startswith("file:") else f for f in files]
+    try:
+        total = sum(_os.path.getsize(p) for p in local)
+    except OSError:
+        total = None
+    if total is not None and total < (n << 26):  # < n × 64 MB
+        return df.repartition(n)
+    try:
+        import pyarrow.parquet as _pq
+
+        rgs = 0
+        for p in local[:64]:  # bounded footer reads
+            rgs += _pq.ParquetFile(p).metadata.num_row_groups
+            if rgs >= n:
+                break
+        if len(files) > 64 and rgs < n:
+            rgs = int(rgs * len(files) / 64)
+        if rgs >= n:
+            return df
+    except Exception:  # noqa: BLE001 — non-parquet / unreadable footers
+        if df.rdd.getNumPartitions() >= n:
+            return df
     return df.repartition(n)
 
 

@@ -125,15 +125,19 @@ def connected_components(
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .distinct()
         .repartition(F.col("b"))
+        .dropDuplicates(["a", "b"])  # reuses the repartition layout: hash(b)
+        # clusters (a,b) well enough that EnsureRequirements inserts no
+        # second exchange — one shuffle where distinct-then-repartition paid two
         .cache()
     )
-    labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
+    # seed component = min(id, min neighbor id): exactly what the first
+    # loop round would compute against identity labels, but as ONE
+    # aggregation instead of a join round (every node appears as `a`
+    # because edges carry both directions)
+    labels = edges.groupBy("a").agg(
+        F.least(F.col("a"), F.min("b")).alias("component")
+    ).withColumnRenamed("a", "id")
 
     for i in range(max_iterations):
         # self ∪ neighbor contributions → one min-aggregation (replaces

@@ -138,4 +138,8 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) ->
             h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
         return h
 
-    return docs.withColumn("fingerprint", fp(F.col(text_col)))
+    # same under-split guard as the dedup signature kernels: a single-
+    # row-group parquet input would otherwise run this UDF on one task
+    from ..operators.dedup import _spread_for_compute
+
+    return _spread_for_compute(docs).withColumn("fingerprint", fp(F.col(text_col)))
