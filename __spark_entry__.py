@@ -719,10 +719,13 @@ def q_payload_validate(spark, sf_dir):
     caption equality, stored-phash match) must hold for EVERY row — the
     engine earns each flag through the real decode path."""
     from marginaliasearch_spark.plans.validate import validate_payloads
-    from marginaliasearch_spark.sources.corpus import generate_corpus
+    from marginaliasearch_spark.sources.corpus import distributed_corpus
 
-    pdf = generate_corpus(42, 64)
-    corpus = spark.createDataFrame(pdf)
+    # the fixture corpus is generated ON the executors (row i derives
+    # from (seed, i) alone): the per-image encode cost spreads across
+    # every core instead of serializing on the driver — row-for-row the
+    # same table as the old driver-side generate_corpus+createDataFrame
+    corpus = distributed_corpus(spark, 42, 64)
     v = validate_payloads(corpus, seed=42)
     return v.select(
         "image_id",

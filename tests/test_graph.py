@@ -74,6 +74,64 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
 
 
+def _union_find_labels(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict = {}
+    for x in list(parent):
+        members.setdefault(find(x), set()).add(x)
+    want = {}
+    for comp in members.values():
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+    return want
+
+
+def test_connected_components_contraction_path(spark):
+    """The large-graph mixed-key contraction rounds (forced via a tiny
+    rows_per_task) must agree with a union-find oracle — including long
+    chains, which need multiple contraction rounds — and with the
+    single-task path."""
+    rng = np.random.default_rng(11)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 300, size=(200, 2)) if a != b]
+    pairs += [(1000 + i, 1000 + i + 1) for i in range(400)]  # a 400-chain
+    want = _union_find_labels(pairs)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    single = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    multi = {
+        r["id"]: r["component"]
+        for r in connected_components(df, rows_per_task=50).collect()
+    }
+    assert single == want
+    assert multi == want
+
+
+def test_numpy_cc_kernel():
+    """The in-task kernel alone: chain, ring, clique, self-loop, dup edges."""
+    from marginaliasearch_spark.operators.graph import _numpy_cc
+
+    edges = [(i, i + 1) for i in range(100)]          # chain
+    edges += [(500 + i, 500 + (i + 1) % 40) for i in range(40)]  # ring
+    edges += [(900, 901), (901, 902), (900, 902), (900, 900), (902, 901)]
+    want = _union_find_labels(edges)
+    a = np.array([e[0] for e in edges])
+    b = np.array([e[1] for e in edges])
+    nodes, roots = _numpy_cc(a, b)
+    assert {int(n): int(r) for n, r in zip(nodes, roots)} == want
+
+
 def test_dedup_groups(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"

@@ -48,6 +48,22 @@ def test_phash_properties():
     assert hamming64(ha, phash64(lossy)) < 4
 
 
+def test_distributed_corpus_row_for_row_equal(spark):
+    """distributed_corpus (executor-side generation) equals the driver's
+    generate_corpus+createDataFrame table byte-for-byte per image_id."""
+    from marginaliasearch_spark.sources.corpus import distributed_corpus
+
+    old = {
+        r["image_id"]: (bytes(r["bytes"]), r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+        for _, r in generate_corpus(42, 16).iterrows()
+    }
+    new = {
+        r["image_id"]: (bytes(r["bytes"]), r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+        for r in distributed_corpus(spark, 42, 16).collect()
+    }
+    assert old == new
+
+
 def test_corpus_deterministic_and_typed():
     c1 = generate_corpus(42, 20)
     c2 = generate_corpus(42, 20)

@@ -66,6 +66,31 @@ def test_dedup_keep_best_argmax(spark):
     assert kept == [2, 4]
 
 
+def test_dedup_keep_best_matches_bruteforce(spark):
+    """The aggregation form (keeper decided on the narrow projection, no
+    corpus shuffle) equals a python brute force over randomized groups —
+    quality ties, singleton groups, negative qualities, ungrouped rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 500
+    quality = rng.integers(-5, 6, size=n)
+    rows = [(int(i), int(quality[i])) for i in range(n)]
+    comp_of = {i: int(rng.integers(0, 60)) for i in range(300)}  # 300 grouped
+    grows = [(i, 10_000 + c) for i, c in comp_of.items()]
+    docs = spark.createDataFrame(rows, "doc_id long, quality long")
+    groups = spark.createDataFrame(grows, "id long, component long")
+
+    best: dict = {}
+    for i, c in comp_of.items():
+        cand = (-quality[i], i)
+        if c not in best or cand < best[c]:
+            best[c] = cand
+    want = sorted({i for i in range(300, n)} | {i for _, i in best.values()})
+    got = sorted(r["doc_id"] for r in dedup_keep_best(docs, groups).collect())
+    assert got == want
+
+
 def test_hash32_sql_mirror_bit_exact(spark):
     """The DuckDB mirror equals the Spark Column form over random 64-bit
     ids including negatives (the ANSI-safe split multiply vs HUGEINT mod
