@@ -123,48 +123,27 @@ def dedup_keep_best(
     """One keeper per near-dup group: highest quality wins, lowest id
     breaks ties; rows outside any group keep themselves.  ``groups`` is
     (id, component) from connected-components over near-dup pairs
-    (operators/graph.py).
+    (operators/graph.py).  One shuffle on the component key.
 
-    The corpus itself is never shuffled (guide §8 — decide with small
-    rows, move heavy rows never): ungrouped rows pass through a
-    broadcast anti-join untouched; the keeper decision runs on the
-    narrow (id, component, quality) projection of the grouped slice —
-    one aggregation over |groups| rows instead of a full-corpus
-    window sort that used to drag every text payload through an
-    exchange — and re-attaches by a semi-join on the keeper ids.
-    (Non-numeric quality falls back to the window form, which needs no
-    order-key negation.)"""
+    Measured note (round 6): a "decide keepers on the narrow projection,
+    semi-join back" rewrite (anti-join passthrough + min_by aggregation
+    + keeper semi-join) was implemented and REVERTED — Spark 4 compiles
+    the rank-1 filter to WindowGroupLimit, which prunes to ~1 row/key on
+    the map side before the exchange, so the window form already has the
+    partial-aggregation shape; the rewrite's extra joins/aggregates were
+    strictly slower (sf1 pathological corpus: 0.86–1.5 s window vs
+    1.3–1.9 s rewrite, identical 46,266-row output)."""
     g = groups.select(
         F.col("id").alias(id_col), F.col("component").alias("_comp")
     )
-    numeric_q = dict(df.dtypes).get(quality_col) in (
-        "tinyint", "smallint", "int", "bigint", "float", "double",
+    joined = df.join(g, id_col, "left").withColumn(
+        "_comp", F.coalesce(F.col("_comp"), F.col(id_col))
     )
-    if not numeric_q:
-        joined = df.join(g, id_col, "left").withColumn(
-            "_comp", F.coalesce(F.col("_comp"), F.col(id_col))
-        )
-        w = Window.partitionBy("_comp").orderBy(
-            F.desc(quality_col), F.col(id_col)
-        )
-        return (
-            joined.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk", "_comp")
-        )
-    ungrouped = df.join(g.select(id_col), id_col, "left_anti")
-    grouped = df.join(g, id_col, "inner")
-    # keeper id per component = argmin over (−quality, id): highest
-    # quality wins, ties break to the lowest id — the window's rank-1 row
-    keepers = (
-        grouped.select(id_col, "_comp", quality_col)
-        .groupBy("_comp")
-        .agg(
-            F.min_by(
-                F.col(id_col), F.struct((-F.col(quality_col)).alias("nq"), F.col(id_col))
-            ).alias(id_col)
-        )
-        .select(id_col)
+    w = Window.partitionBy("_comp").orderBy(
+        F.desc(quality_col), F.col(id_col)
     )
-    kept = grouped.join(keepers, id_col, "left_semi").drop("_comp")
-    return ungrouped.unionByName(kept)
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_comp")
+    )

@@ -115,6 +115,41 @@ def _row(row_kind: str, domain: str, **kw) -> dict:
     return base
 
 
+_INT64_COLS = ("url_hash", "seq", "virtual_ms", "idx", "phash", "lsh64", "timestamp")
+_INT32_COLS = ("http_status", "psnr_ok", "has_cookies", "request_time_ms")
+
+
+def _assemble_out(domain: str, blocks: list) -> pd.DataFrame:
+    """Columnar wave-output builder: each block is (n_rows, {col: list |
+    scalar}) for one homogeneous row kind; absent columns fill with
+    nulls.  Replaces the per-row 25-key dict assembly (measured ~2/3 of
+    the whole wave UDF wall at 512 domains — guide §1.2 step 2, per-task
+    work).  Int columns go straight to pandas nullable Int64/Int32 so a
+    null can never decay the column to float64 and corrupt 64-bit
+    hashes — the same invariant the old dtype=object + astype path
+    enforced, minus the object detour."""
+    data = {}
+    for c in _OUT_COLS:
+        vals: list = []
+        for cnt, cols in blocks:
+            v = cols.get(c)
+            if v is None:
+                vals.extend([None] * cnt)
+            elif isinstance(v, (list, range)):
+                vals.extend(v)
+            else:
+                vals.extend([v] * cnt)
+        if c == "domain":
+            data[c] = pd.Series([domain] * sum(b[0] for b in blocks), dtype=object)
+        elif c in _INT64_COLS:
+            data[c] = pd.array(vals, dtype="Int64")
+        elif c in _INT32_COLS:
+            data[c] = pd.array(vals, dtype="Int32")
+        else:
+            data[c] = pd.Series(vals, dtype=object)
+    return pd.DataFrame(data, columns=_OUT_COLS)
+
+
 def _schedule_offsets(durations: list[tuple[str, int]], permits: int) -> dict[str, int]:
     """Greedy list scheduling of per-domain crawl durations onto `permits`
     concurrent slots with a ≥1 s cadence between lock grants — the virtual-
@@ -260,81 +295,91 @@ def _make_wave_fn(
 
         crawl_data, fetch_log, visits = sess.drain()
         edges = sess.drain_edges()
-        out: list[dict] = []
-        for i, (src, dst) in enumerate(edges):
-            out.append(_row("edge", domain, url=src, url2=dst, idx=i))
-        for i, rec in enumerate(fetch_log):
-            out.append(
-                _row(
-                    "fetch_log",
-                    domain,
-                    url=rec["url"],
-                    action=rec["action"],
-                    http_status=int(rec["status"]),
-                    virtual_ms=int(rec["virtual_ms"]),
-                    idx=i,
+        # columnar assembly (block order = the old row order: edge,
+        # fetch_log, visit, crawl_data, frontier, domain_state)
+        blocks: list = []
+        if edges:
+            blocks.append(
+                (
+                    len(edges),
+                    {
+                        "row_kind": "edge",
+                        "url": [e[0] for e in edges],
+                        "url2": [e[1] for e in edges],
+                        "idx": range(len(edges)),
+                    },
                 )
             )
-        for i, u in enumerate(visits):
-            out.append(_row("visit", domain, url=u, idx=i))
-        for i, rec in enumerate(crawl_data):
-            out.append(
-                _row(
-                    "crawl_data",
-                    domain,
-                    idx=i,
-                    url=rec["url"],
-                    http_status=int(rec["http_status"]),
-                    content_type=rec["content_type"],
-                    image_id=rec["image_id"],
-                    etag=rec["etag"],
-                    last_modified=rec["last_modified"],
-                    phash=rec.get("phash"),
-                    psnr_ok=(None if "psnr_ok" not in rec else int(rec["psnr_ok"])),
-                    lsh64=rec.get("lsh64"),
-                    has_cookies=int(rec.get("has_cookies", 0)),
-                    ip=rec.get("ip"),
-                    timestamp=rec.get("timestamp"),
-                    request_time_ms=rec.get("request_time_ms"),
-                    header=rec.get("header"),
+        if fetch_log:
+            blocks.append(
+                (
+                    len(fetch_log),
+                    {
+                        "row_kind": "fetch_log",
+                        "url": [r["url"] for r in fetch_log],
+                        "action": [r["action"] for r in fetch_log],
+                        "http_status": [int(r["status"]) for r in fetch_log],
+                        "virtual_ms": [int(r["virtual_ms"]) for r in fetch_log],
+                        "idx": range(len(fetch_log)),
+                    },
                 )
             )
-        if phase == "active":
-            for rec in sess.frontier_rows():
-                out.append(
-                    _row(
-                        "frontier",
-                        domain,
-                        url_hash=int(rec["url_hash"]),
-                        url=rec["url"],
-                        seq=int(rec["seq"]),
-                        state=rec["state"],
-                    )
+        if visits:
+            blocks.append(
+                (
+                    len(visits),
+                    {"row_kind": "visit", "url": list(visits), "idx": range(len(visits))},
                 )
-        else:
+            )
+        if crawl_data:
+            blocks.append(
+                (
+                    len(crawl_data),
+                    {
+                        "row_kind": "crawl_data",
+                        "idx": range(len(crawl_data)),
+                        "url": [r["url"] for r in crawl_data],
+                        "http_status": [int(r["http_status"]) for r in crawl_data],
+                        "content_type": [r["content_type"] for r in crawl_data],
+                        "image_id": [r["image_id"] for r in crawl_data],
+                        "etag": [r["etag"] for r in crawl_data],
+                        "last_modified": [r["last_modified"] for r in crawl_data],
+                        "phash": [r.get("phash") for r in crawl_data],
+                        "psnr_ok": [
+                            (None if "psnr_ok" not in r else int(r["psnr_ok"]))
+                            for r in crawl_data
+                        ],
+                        "lsh64": [r.get("lsh64") for r in crawl_data],
+                        "has_cookies": [int(r.get("has_cookies", 0)) for r in crawl_data],
+                        "ip": [r.get("ip") for r in crawl_data],
+                        "timestamp": [r.get("timestamp") for r in crawl_data],
+                        "request_time_ms": [r.get("request_time_ms") for r in crawl_data],
+                        "header": [r.get("header") for r in crawl_data],
+                    },
+                )
+            )
+        frontier_out = sess.frontier_rows()
+        if phase != "active":
             # terminal: keep only the seen-set (lineage/recrawl input),
             # drop the queue
-            for rec in sess.frontier_rows():
-                if rec["state"] != "QUEUED":
-                    out.append(
-                        _row(
-                            "frontier",
-                            domain,
-                            url_hash=int(rec["url_hash"]),
-                            url=rec["url"],
-                            seq=int(rec["seq"]),
-                            state=rec["state"],
-                        )
-                    )
-        out.append(_row("domain_state", domain, state=phase, state_json=sess.state_json()))
-        # dtype=object stops pandas decaying int+None columns to float64,
-        # which silently corrupts 64-bit url hashes; then go to nullable ints
-        pdf = pd.DataFrame(out, columns=_OUT_COLS, dtype=object)
-        for col in ("url_hash", "seq", "virtual_ms", "idx", "phash", "lsh64", "timestamp"):
-            pdf[col] = pdf[col].astype("Int64")
-        for col in ("http_status", "psnr_ok", "has_cookies", "request_time_ms"):
-            pdf[col] = pdf[col].astype("Int32")
-        return pdf
+            frontier_out = [r for r in frontier_out if r["state"] != "QUEUED"]
+        if frontier_out:
+            blocks.append(
+                (
+                    len(frontier_out),
+                    {
+                        "row_kind": "frontier",
+                        "url_hash": [int(r["url_hash"]) for r in frontier_out],
+                        "url": [r["url"] for r in frontier_out],
+                        "seq": [int(r["seq"]) for r in frontier_out],
+                        "state": [r["state"] for r in frontier_out],
+                    },
+                )
+            )
+        blocks.append(
+            (1, {"row_kind": "domain_state", "state": phase, "state_json": sess.state_json()})
+        )
+        return _assemble_out(domain, blocks)
 
     return wave_fn
 
