@@ -255,25 +255,30 @@ def minhash_lsh_pairs(
             T.StructField("jaccard_est", T.DoubleType()),
         ]
     )
-    numeric_id = isinstance(
-        id_field.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    )
-
     def score_buckets(it):
         """Partition stream sorted by band_hash: buckets arrive as
         contiguous runs, possibly split across Arrow batches — buffer the
         trailing (maybe-incomplete) run and score complete runs with one
-        numpy broadcast compare per bucket."""
-        import numpy as np
-        import pandas as pd
+        numpy broadcast compare per bucket.
 
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64" if numeric_id else "object"),
-                "id_b": pd.Series(dtype="int64" if numeric_id else "object"),
-                "jaccard_est": pd.Series(dtype="float64"),
-            }
-        )
+        Arrow-native (mapInArrow, guide §4.2): the 64-long signature
+        column is one contiguous int64 values buffer per batch, so the
+        [n × 64] scoring matrix is a zero-copy flatten+reshape — the
+        mapInPandas form paid a per-row python list materialization
+        (``Series.tolist()`` → ``np.array``) that alone cost ~0.27 s per
+        100k rows, ~4 core-seconds per sf1 scoring pass."""
+        import numpy as np
+        import pyarrow as pa
+
+        out_fields = None  # derived from the first batch's id type
+
+        def emit(a, b, e):
+            return pa.RecordBatch.from_arrays(
+                [pa.array(a, type=out_fields[0]),
+                 pa.array(b, type=out_fields[0]),
+                 pa.array(e, type=pa.float64())],
+                names=["id_a", "id_b", "jaccard_est"],
+            )
 
         def process(hashes, ids, M):
             change = np.nonzero(hashes[1:] != hashes[:-1])[0] + 1
@@ -311,22 +316,31 @@ def minhash_lsh_pairs(
                 out_e.append(est[keep])
             if not out_a:
                 return None
-            return pd.DataFrame(
-                {
-                    "id_a": np.concatenate(out_a),
-                    "id_b": np.concatenate(out_b),
-                    "jaccard_est": np.concatenate(out_e),
-                }
+            return emit(
+                np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_e)
             )
 
         buf_h = buf_i = buf_m = None
         skip_hash = None  # hash of an over-cap run being discarded
-        for pdf in it:
-            if len(pdf) == 0:
+        for batch in it:
+            if batch.num_rows == 0:
                 continue
-            hashes = pdf["band_hash"].to_numpy()
-            ids = pdf[id_col].to_numpy()
-            M = np.array(pdf["minhash"].tolist(), dtype=np.int64)
+            if out_fields is None:
+                names = batch.schema.names
+                i_id, i_h, i_mh = (
+                    names.index(id_col), names.index("band_hash"), names.index("minhash")
+                )
+                out_fields = (batch.schema.field(i_id).type,)
+            hashes = batch.column(i_h).to_numpy(zero_copy_only=False)
+            ids = batch.column(i_id).to_numpy(zero_copy_only=False)
+            # zero-copy [n × num_hashes] view: the list column's values
+            # buffer is contiguous and every list is exactly num_hashes
+            M = (
+                batch.column(i_mh)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(batch.num_rows, num_hashes)
+            )
             if skip_hash is not None:
                 # continuation rows of a discarded over-cap run arrive as
                 # a (sorted) prefix of this batch — drop them on sight
@@ -357,12 +371,11 @@ def minhash_lsh_pairs(
             res = process(buf_h, buf_i, buf_m)
             if res is not None:
                 yield res
-        yield empty  # pin output dtypes even when no pair is emitted
 
     scored = (
         banded.repartition(F.col("band_hash"))
         .sortWithinPartitions("band_hash")
-        .mapInPandas(score_buckets, out_schema)
+        .mapInArrow(score_buckets, out_schema)
     )
     return scored.dropDuplicates(["id_a", "id_b"])
 
