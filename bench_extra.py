@@ -163,6 +163,56 @@ def breakdown_simhash(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def breakdown_cc(spark, sf_dir):
+    """Old label-propagation CC vs the round-6 scale-adaptive contraction
+    on the pathological pair graph: wall + Spark job count (the old form
+    paid ~2 jobs + 3 exchanges per round for 8+ rounds)."""
+    from pyspark.sql import functions as F
+
+    from marginaliasearch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        unpersist_transients,
+    )
+    from marginaliasearch_spark.operators.graph import (
+        _cc_label_propagation,
+        connected_components,
+    )
+
+    print("== connected_components breakdown (pathological pairs) ==")
+    boiler = F.lit(
+        " copyright example site all rights reserved navigation home about contact"
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.concat(F.col("text"), boiler).alias("text"))
+    )
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.9) as int))").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_lsh_pairs(
+        docs.unionByName(copies), jaccard_threshold=0.6
+    ).persist()
+    print(f"  pairs: {pairs.count()}")
+    unpersist_transients()
+    sc = spark.sparkContext
+    for label, fn in (
+        ("old label-propagation CC", _cc_label_propagation),
+        ("round-6 contraction CC", connected_components),
+    ):
+        sc.setJobGroup(label, label)
+        t0 = time.perf_counter()
+        n = fn(pairs).count()
+        dt = time.perf_counter() - t0
+        jobs = len(sc.statusTracker().getJobIdsForGroup(label))
+        sc.setJobGroup(None, None)
+        print(f"  {label:46s} {dt:7.3f}s  rows={n}  spark_jobs={jobs}")
+    pairs.unpersist()
+    spark.catalog.clearCache()
+
+
 def breakdown_revenue(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -196,12 +246,13 @@ def main():
     spark.range(cpus * 2).repartition(cpus).mapInPandas(_noop_it, "id long").count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
-    rows = sys.argv[1:] or ["minhash", "compose", "simhash", "revenue"]
+    rows = sys.argv[1:] or ["minhash", "compose", "simhash", "revenue", "cc"]
     fns = {
         "minhash": breakdown_minhash,
         "compose": breakdown_compose,
         "simhash": breakdown_simhash,
         "revenue": breakdown_revenue,
+        "cc": breakdown_cc,
     }
     for r in rows:
         fns[r](spark, sf_dir)

@@ -131,6 +131,15 @@ def connected_components(
       labels are roots — every node's rows co-locate under key=n and
       every label's under key=l — i.e. the global fixpoint.
 
+    Scale boundary (documented, not silent): a contraction task
+    materializes its partition's rows, so a SINGLE component whose
+    incident mapping rows exceed executor memory would concentrate on
+    its root's partition (the old spillable-aggregation loop degraded
+    more gracefully there).  The near-dup pair graphs this operator
+    serves are bounded upstream — candidate generation is per-bucket
+    capped (``max_bucket``), so component incident degree is capped by
+    construction; ``rows_per_task`` sizes the average partition.
+
     Non-integral id types take the previous min-label-propagation path
     (``_cc_label_propagation``) unchanged."""
     id_type = dict(pairs.dtypes).get(a_col)
@@ -211,9 +220,12 @@ def connected_components(
     R = edges
     nparts = max(2, -(-2 * ne // rows_per_task))
     for _ in range(max_iterations):
+        # duplicate (n,n) self-rows from the explode are harmless to the
+        # UF kernel and excluded from the fixpoint compare (both sides of
+        # ch go through np.unique), so no intra-round dedup exchange
         doubled = R.select(
             F.explode(F.array(F.col("n"), F.col("l"))).alias("key"), "n", "l"
-        ).dropDuplicates(["key", "n", "l"])
+        )
         R = (
             doubled.repartition(nparts, "key")
             .select("n", "l")
