@@ -132,7 +132,7 @@ def minhash_signature_batch(texts, num_hashes: int = 64, k: int = 5, seed: int =
     return out
 
 
-def _spread_for_compute(df: DataFrame) -> DataFrame:
+def _spread_for_compute(df: DataFrame, always_spread_small: bool = True) -> DataFrame:
     """Signature computation is compute-bound, not byte-bound: an
     under-split input would serialize the UDF.  Spread to the cluster's
     parallelism first — but only when the input cannot already feed that
@@ -144,10 +144,19 @@ def _spread_for_compute(df: DataFrame) -> DataFrame:
     written as one row group yields 32 nominal splits of which one holds
     every row (measured: the signature stage ran 1-core at 10× scale, 209 s
     vs 6.6 s expected).  So decide from driver-side file metadata: a small
-    input (< parallelism × 64 MB) is always spread — the shuffle is
-    trivially affordable and row balance is then guaranteed; a large one
-    is spread only when its (sampled) row-group count cannot feed the
-    cluster.  Non-file sources fall back to the partition-count check."""
+    input (< parallelism × 64 MB) is spread — the shuffle is trivially
+    affordable and row balance is then guaranteed; a large one is spread
+    only when its (sampled) row-group count cannot feed the cluster.
+    Non-file sources fall back to the partition-count check.
+
+    ``always_spread_small=False`` is the LIGHT-kernel variant (winnowing
+    fingerprint ≈ 84 µs/doc vs minhash ≈ 170+ µs/doc on bigger shingle
+    sets): a small input (< 32 MB) runs un-spread even when single-row-
+    group — below that size the one-off serialized cost (≤ ~10 s worst
+    case, typically well under a second) undercuts paying an extra
+    exchange+stage on every call, and callers like the count-only bench
+    probe never even evaluate the pruned UDF column.  The genuine trap —
+    a BIG single-row-group file — still spreads."""
     n = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = list(df.inputFiles())
@@ -165,7 +174,12 @@ def _spread_for_compute(df: DataFrame) -> DataFrame:
     except OSError:
         total = None
     if total is not None and total < (n << 26):  # < n × 64 MB
-        return df.repartition(n)
+        if always_spread_small:
+            return df.repartition(n)
+        if total < (32 << 20):
+            return df  # light kernel, small input: serialization beats a shuffle
+        # light kernel, mid-size input: spread only if row groups can't
+        # feed the cluster (fall through to the sampled footer check)
     try:
         import pyarrow.parquet as _pq
 

@@ -138,8 +138,13 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) ->
             h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
         return h
 
-    # same under-split guard as the dedup signature kernels: a single-
-    # row-group parquet input would otherwise run this UDF on one task
+    # same under-split guard as the dedup signature kernels — but the
+    # LIGHT-kernel variant: this kernel is ~84 µs/doc, so sub-32 MB
+    # inputs run un-spread (the r6 measurement showed the unconditional
+    # small-input shuffle cost more than it protected at gate/bench
+    # scale); a big single-row-group file still spreads
     from ..operators.dedup import _spread_for_compute
 
-    return _spread_for_compute(docs).withColumn("fingerprint", fp(F.col(text_col)))
+    return _spread_for_compute(docs, always_spread_small=False).withColumn(
+        "fingerprint", fp(F.col(text_col))
+    )

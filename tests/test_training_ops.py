@@ -306,3 +306,27 @@ def test_minhash_lsh_pairs_matches_numpy_banded_reference(spark, docs):
         if old_batch is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
         unpersist_transients()
+
+
+def test_spread_for_compute_kernel_weight(spark, docs, tmp_path):
+    """The under-split guard's two modes: heavy kernels spread any small
+    file input; light kernels leave sub-32MB inputs un-spread (no extra
+    exchange in the plan) but still spread a big single-row-group file
+    (threshold checked by monkey-shrinking the light cutoff via a large
+    synthetic is too slow here, so we assert the decision on the real
+    small file + the non-file fallback)."""
+    from marginaliasearch_spark.operators.dedup import _spread_for_compute
+
+    small = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    heavy = _spread_for_compute(small, always_spread_small=True)
+    light = _spread_for_compute(small, always_spread_small=False)
+    n = spark.sparkContext.defaultParallelism
+    # heavy: repartitioned to cluster parallelism
+    assert heavy.rdd.getNumPartitions() == n
+    # light: plan untouched (identical partitioning, no exchange added)
+    assert light is small
+    # results identical either way
+    assert heavy.count() == small.count() == light.count()
+    # non-file plans keep the partition-count fallback in both modes
+    rng_df = spark.range(100, numPartitions=1)
+    assert _spread_for_compute(rng_df, always_spread_small=False).rdd.getNumPartitions() == n
